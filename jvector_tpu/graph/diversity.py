@@ -1,0 +1,110 @@
+"""Vectorized robust prune (Vamana diversity heuristic).
+
+Reference: ``jv/graph/diversity/VamanaDiversityProvider.java:45-96`` — greedy
+scan over score-sorted candidates with an alpha ramp 1.0 -> alpha in steps of
+0.2; a candidate is kept iff ``sim(c, s_j) <= score(c) * alpha`` for every
+already-selected ``s_j``.
+
+The sequential greedy scan is inherently order-dependent, so it runs as a
+``fori_loop`` over candidate positions — but batched over B nodes at once,
+with the O(C^2) candidate-pair similarity matrix computed up front as one
+batched matmul (the reference pays one kernel call per (candidate, selected)
+pair instead).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from jvector_tpu.graph.index import NEG_INF
+
+
+def dedup_sorted_desc(ids: jax.Array, scores: jax.Array):
+    """Sort (ids, scores) desc by score and invalidate duplicate ids.
+
+    Equivalent of ``NodeArray.merge``'s dedup-by-node (``NodeArray.java:63-140``).
+    ids ``[B, C]`` (-1 = invalid), scores ``[B, C]``.
+    """
+    # pass 1: sort by id so duplicates are adjacent; keep the best score copy.
+    big = jnp.int32(2**30)
+    key_ids = jnp.where(ids >= 0, ids, big)
+    id_sorted, sc_sorted = jax.lax.sort(
+        (key_ids, -scores), dimension=1, num_keys=2
+    )
+    dup = jnp.concatenate(
+        [
+            jnp.zeros((ids.shape[0], 1), bool),
+            id_sorted[:, 1:] == id_sorted[:, :-1],
+        ],
+        axis=1,
+    )
+    sc2 = jnp.where(dup | (id_sorted >= big), jnp.float32(NEG_INF), -sc_sorted)
+    ids2 = jnp.where(dup | (id_sorted >= big), -1, id_sorted)
+    # pass 2: sort desc by score.
+    neg, ids3 = jax.lax.sort((-sc2, ids2), dimension=1, num_keys=1)
+    return ids3, -neg
+
+
+@partial(jax.jit, static_argnames=("max_degree", "alphas"))
+def robust_prune(
+    cand_ids: jax.Array,  # int32 [B, C], -1 padded, unique per row
+    cand_scores: jax.Array,  # float32 [B, C] similarity to the owning node
+    simmat: jax.Array,  # float32 [B, C, C] candidate-pair similarities
+    max_degree: int,
+    alphas: tuple[float, ...] = (1.0, 1.2),
+):
+    """Batched robust prune.
+
+    Inputs must be score-sorted descending per row (use
+    :func:`dedup_sorted_desc` first if merging lists).  Returns
+    ``(ids [B, max_degree], scores [B, max_degree], counts [B])`` with
+    selected neighbors in score order, -1/-inf padded.
+    """
+    B, C = cand_ids.shape
+    valid = (cand_ids >= 0) & (cand_scores > NEG_INF)
+
+    def scan_alpha(carry, alpha):
+        selected, count = carry
+
+        def step(i, sc):
+            sel, cnt = sc
+            sims_i = jax.lax.dynamic_slice_in_dim(simmat, i, 1, axis=1)[:, 0, :]  # [B, C]
+            max_sel_sim = jnp.max(
+                jnp.where(sel, sims_i, jnp.float32(NEG_INF)), axis=1
+            )
+            score_i = jax.lax.dynamic_slice_in_dim(cand_scores, i, 1, axis=1)[:, 0]
+            valid_i = jax.lax.dynamic_slice_in_dim(valid, i, 1, axis=1)[:, 0]
+            sel_i = jax.lax.dynamic_slice_in_dim(sel, i, 1, axis=1)[:, 0]
+            accept = (
+                valid_i
+                & ~sel_i
+                & (cnt < max_degree)
+                & ((max_sel_sim <= score_i * alpha) | (cnt == 0))
+            )
+            sel2 = jax.lax.dynamic_update_slice_in_dim(
+                sel, (sel_i | accept)[:, None], i, axis=1
+            )
+            return sel2, cnt + accept.astype(jnp.int32)
+
+        selected, count = jax.lax.fori_loop(0, C, step, (selected, count))
+        return (selected, count), None
+
+    init = (jnp.zeros((B, C), bool), jnp.zeros((B,), jnp.int32))
+    (selected, count), _ = jax.lax.scan(
+        scan_alpha, init, jnp.asarray(alphas, jnp.float32)
+    )
+
+    # extract selected entries in score order (rows are already score-sorted)
+    order_key = jnp.where(selected, 0, 1)
+    pos = jnp.arange(C, dtype=jnp.int32)[None, :].repeat(B, axis=0)
+    _, idx = jax.lax.sort((order_key.astype(jnp.int32), pos), dimension=1, num_keys=2)
+    take = idx[:, :max_degree]
+    out_ids = jnp.take_along_axis(cand_ids, take, axis=1)
+    out_scores = jnp.take_along_axis(cand_scores, take, axis=1)
+    in_range = jnp.arange(max_degree)[None, :] < count[:, None]
+    out_ids = jnp.where(in_range, out_ids, -1)
+    out_scores = jnp.where(in_range, out_scores, jnp.float32(NEG_INF))
+    return out_ids, out_scores, count

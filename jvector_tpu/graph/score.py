@@ -1,0 +1,234 @@
+"""Score providers: the strategy objects behind search and build scoring.
+
+TPU-native equivalent of ``jv/graph/similarity/``:
+
+- ``SearchScoreProvider`` = {approximate score fn, exact reranker}
+  -> a provider pytree with ``prepare(queries)`` + ``score(qstate, ids)``,
+  plus an optional separate reranker provider for the two-pass search.
+- ``BuildScoreProvider`` (``BuildScoreProvider.java:32-259``)
+  -> the same providers plus ``pairwise(ids_a, ids_b)`` used by the
+  diversity prune (``diversityFunctionFor``).
+
+Providers are registered dataclass pytrees: array fields are traced, the
+similarity enum rides as static metadata, so one jitted search specializes
+per provider type + similarity, exactly like the reference specializes score
+functions per compression type.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from jvector_tpu.ops.adc import adc_score, build_partial_sums
+from jvector_tpu.ops.hamming import _popcount32, pack_bits
+from jvector_tpu.ops.similarity import (
+    SimilarityFunction,
+    normalize_score,
+)
+
+
+def _register(cls, data_fields, meta_fields):
+    return partial(
+        jax.tree_util.register_dataclass,
+        data_fields=data_fields,
+        meta_fields=meta_fields,
+    )(cls)
+
+
+@partial(_register, data_fields=["vectors"], meta_fields=["sim"])
+@dataclasses.dataclass(frozen=True)
+class ExactScoreProvider:
+    """Full-precision scoring over HBM-resident vectors ``[N, D]``.
+
+    Reference: ``BuildScoreProvider.randomAccessScoreProvider`` +
+    ``DefaultSearchScoreProvider.exact``.
+    """
+
+    vectors: jax.Array  # [N, D] float32
+    sim: SimilarityFunction = SimilarityFunction.EUCLIDEAN
+
+    @property
+    def exact(self) -> bool:
+        return True
+
+    def prepare(self, queries: jax.Array) -> jax.Array:
+        """Per-wave query state (the analog of building the query's decoder)."""
+        if self.sim == SimilarityFunction.COSINE:
+            n = jnp.sqrt(jnp.sum(queries * queries, axis=-1, keepdims=True))
+            return queries / jnp.maximum(n, 1e-30)
+        return queries
+
+    def score(self, qstate: jax.Array, ids: jax.Array) -> jax.Array:
+        """Score queries against node ids: qstate ``[Q, D]``, ids ``[Q, R]`` -> ``[Q, R]``."""
+        vecs = self.vectors[ids]  # [Q, R, D]
+        if self.sim == SimilarityFunction.DOT_PRODUCT:
+            raw = jnp.einsum("qd,qrd->qr", qstate, vecs, preferred_element_type=jnp.float32)
+        elif self.sim == SimilarityFunction.COSINE:
+            dots = jnp.einsum("qd,qrd->qr", qstate, vecs, preferred_element_type=jnp.float32)
+            vn = jnp.sqrt(jnp.sum(vecs * vecs, axis=-1))
+            raw = dots / jnp.maximum(vn, 1e-30)  # qstate already normalized
+        else:
+            q2 = jnp.sum(qstate * qstate, axis=-1)[:, None]
+            v2 = jnp.sum(vecs * vecs, axis=-1)
+            dots = jnp.einsum("qd,qrd->qr", qstate, vecs, preferred_element_type=jnp.float32)
+            raw = jnp.maximum(q2 + v2 - 2.0 * dots, 0.0)
+        return normalize_score(raw, self.sim)
+
+    def score_nodes(self, node_ids: jax.Array, ids: jax.Array) -> jax.Array:
+        """Node-to-node scores: node_ids ``[B]``, ids ``[B, R]`` -> ``[B, R]``."""
+        return self.score(self.prepare(self.vectors[node_ids]), ids)
+
+    def pairwise(self, ids_a: jax.Array, ids_b: jax.Array) -> jax.Array:
+        """Batched all-pairs: ids_a ``[B, Ca]``, ids_b ``[B, Cb]`` -> ``[B, Ca, Cb]``.
+
+        The diversity-prune kernel (``diversityFunctionFor`` in the reference).
+        """
+        va = self.vectors[ids_a]  # [B, Ca, D]
+        vb = self.vectors[ids_b]  # [B, Cb, D]
+        dots = jnp.einsum("bcd,bed->bce", va, vb, preferred_element_type=jnp.float32)
+        if self.sim == SimilarityFunction.DOT_PRODUCT:
+            raw = dots
+        elif self.sim == SimilarityFunction.COSINE:
+            na = jnp.sqrt(jnp.sum(va * va, axis=-1))[:, :, None]
+            nb = jnp.sqrt(jnp.sum(vb * vb, axis=-1))[:, None, :]
+            raw = dots / jnp.maximum(na * nb, 1e-30)
+        else:
+            a2 = jnp.sum(va * va, axis=-1)[:, :, None]
+            b2 = jnp.sum(vb * vb, axis=-1)[:, None, :]
+            raw = jnp.maximum(a2 + b2 - 2.0 * dots, 0.0)
+        return normalize_score(raw, self.sim)
+
+
+@partial(
+    _register,
+    data_fields=["codes", "codebooks", "center"],
+    meta_fields=["sim"],
+)
+@dataclasses.dataclass(frozen=True)
+class ADCScoreProvider:
+    """PQ compressed scoring via per-query ADC lookup tables.
+
+    Reference: ``PQVectors.precomputedScoreFunctionFor`` -> ``PQDecoder``
+    (LUT built once per query, gather+sum per candidate) and
+    ``BuildScoreProvider.pqBuildScoreProvider``.
+    """
+
+    codes: jax.Array  # [N, M] uint8
+    codebooks: jax.Array  # [M, K, S] float32
+    center: jax.Array | None  # [D_pad] global centering vector or None
+    sim: SimilarityFunction = SimilarityFunction.EUCLIDEAN
+
+    @property
+    def exact(self) -> bool:
+        return False
+
+    @property
+    def padded_dim(self) -> int:
+        m, _, s = self.codebooks.shape
+        return m * s
+
+    def _pad(self, queries: jax.Array) -> jax.Array:
+        d = queries.shape[-1]
+        dp = self.padded_dim
+        if d < dp:
+            queries = jnp.concatenate(
+                [queries, jnp.zeros(queries.shape[:-1] + (dp - d,), queries.dtype)],
+                axis=-1,
+            )
+        return queries
+
+    def prepare(self, queries: jax.Array) -> jax.Array:
+        """Build LUTs ``[Q, M, K]`` (the ``calculatePartialSums`` step)."""
+        q = self._pad(queries)
+        if self.center is not None:
+            q = q - self.center
+        if self.sim == SimilarityFunction.COSINE:
+            n = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
+            q = q / jnp.maximum(n, 1e-30)
+            luts = build_partial_sums(q, self.codebooks, SimilarityFunction.DOT_PRODUCT)
+            # cosine needs the centroid norm table folded in at score time;
+            # store it stacked on the LUT channel: [Q, M, K] dot + norms row.
+            return luts
+        return build_partial_sums(q, self.codebooks, self.sim)
+
+    def score(self, luts: jax.Array, ids: jax.Array) -> jax.Array:
+        codes = self.codes[ids]  # [Q, R, M]
+        raw = adc_score(luts, codes)
+        if self.sim == SimilarityFunction.COSINE:
+            c2 = jnp.sum(self.codebooks * self.codebooks, axis=-1)  # [M, K]
+            mag = adc_score(jnp.broadcast_to(c2[None], luts.shape), codes)
+            raw = raw / jnp.maximum(jnp.sqrt(mag), 1e-30)
+        return normalize_score(raw, self.sim)
+
+    def decode_centered(self, ids: jax.Array) -> jax.Array:
+        """Decode codes to (padded, still-centered) vectors ``[..., M*S]``.
+
+        Reference: ``ProductQuantization.decodeCentered``.
+        """
+        codes = self.codes[ids].astype(jnp.int32)  # [..., M]
+        m = self.codebooks.shape[0]
+        parts = [self.codebooks[i][codes[..., i]] for i in range(m)]
+        return jnp.concatenate(parts, axis=-1)
+
+    def score_nodes(self, node_ids: jax.Array, ids: jax.Array) -> jax.Array:
+        """Node-to-node via decoded origin vs compressed candidates.
+
+        Reference: ``PQVectors.diversityFunctionFor`` scores code-to-code via
+        codebooks; decoding the origin then running ADC is the same math.
+        """
+        origins = self.decode_centered(node_ids)  # centered space
+        if self.sim == SimilarityFunction.COSINE:
+            n = jnp.sqrt(jnp.sum(origins * origins, axis=-1, keepdims=True))
+            origins = origins / jnp.maximum(n, 1e-30)
+            luts = build_partial_sums(origins, self.codebooks, SimilarityFunction.DOT_PRODUCT)
+        else:
+            luts = build_partial_sums(origins, self.codebooks, self.sim)
+        return self.score(luts, ids)
+
+    def pairwise(self, ids_a: jax.Array, ids_b: jax.Array) -> jax.Array:
+        """Batched all-pairs over compressed codes (decode a, ADC against b)."""
+        B, Ca = ids_a.shape
+        Cb = ids_b.shape[1]
+        flat_luts_scores = self.score_nodes(
+            ids_a.reshape(-1),
+            jnp.broadcast_to(ids_b[:, None], (B, Ca, Cb)).reshape(B * Ca, Cb),
+        )
+        return flat_luts_scores.reshape(B, Ca, Cb)
+
+
+@partial(_register, data_fields=["codes"], meta_fields=["dim"])
+@dataclasses.dataclass(frozen=True)
+class BQScoreProvider:
+    """Binary-quantized scoring: query packed once, XOR+popcount per candidate.
+
+    Reference: ``BQVectors.java:116-118`` (``1 - hamming/d``) and
+    ``BuildScoreProvider.bqBuildScoreProvider``.
+    """
+
+    codes: jax.Array  # [N, W] uint32 packed
+    dim: int = 0
+
+    @property
+    def exact(self) -> bool:
+        return False
+
+    def prepare(self, queries: jax.Array) -> jax.Array:
+        return pack_bits(queries)
+
+    def _sim(self, qcodes: jax.Array, codes: jax.Array) -> jax.Array:
+        h = jnp.sum(_popcount32(jnp.bitwise_xor(qcodes, codes)), axis=-1)
+        d = self.dim if self.dim else self.codes.shape[-1] * 32
+        return 1.0 - h.astype(jnp.float32) / float(d)
+
+    def score(self, qstate: jax.Array, ids: jax.Array) -> jax.Array:
+        return self._sim(qstate[:, None, :], self.codes[ids])
+
+    def score_nodes(self, node_ids: jax.Array, ids: jax.Array) -> jax.Array:
+        return self._sim(self.codes[node_ids][:, None, :], self.codes[ids])
+
+    def pairwise(self, ids_a: jax.Array, ids_b: jax.Array) -> jax.Array:
+        return self._sim(self.codes[ids_a][:, :, None, :], self.codes[ids_b][:, None, :, :])

@@ -1,0 +1,254 @@
+"""Query-wave batched beam search.
+
+TPU-native redesign of ``jv/graph/GraphSearcher.java``.  The reference's hot
+loop (``searchOneLayer:406-457``) pops one candidate off a heap, expands its
+neighbors through the visited set, and pushes scored neighbors back.  Here a
+whole *wave* of Q queries advances in lock-step inside one jitted
+``lax.while_loop``:
+
+- the candidate heap + result heap pair becomes one fixed-width beam of
+  ``ef`` (score-sorted ids + an ``expanded`` flag per slot);
+- the visited ``IntHashSet`` becomes a packed bitset ``uint32[Q, N/32]``;
+  bits are set with scatter-add, exact because ids within one expansion are
+  unique (graph row invariant);
+- the stop rule "best remaining candidate is worse than the worst result"
+  becomes "no unexpanded slot survives in the beam", per query, with
+  finished queries masked out while the wave drains;
+- reranking (``GraphSearcher.reranking:471-507``) reruns exact scores over
+  the top ``rerank_k`` beam slots in one batched gather+matmul.
+
+Counters mirror ``SearchResult``: visited/expanded/reranked counts.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from jvector_tpu.graph.index import NEG_INF, GraphIndex
+
+_WORD_BITS = 32
+
+
+class SearchResult(NamedTuple):
+    """Per-wave result: ``[Q, k]`` ids/scores + counters (reference ``SearchResult``)."""
+
+    ids: jax.Array  # int32 [Q, k]
+    scores: jax.Array  # float32 [Q, k]
+    visited_count: jax.Array  # int32 [Q]
+    expanded_count: jax.Array  # int32 [Q]
+    reranked_count: jax.Array  # int32 [Q]
+
+
+class _BeamState(NamedTuple):
+    ids: jax.Array  # int32 [Q, L]
+    scores: jax.Array  # float32 [Q, L]
+    expanded: jax.Array  # bool [Q, L]
+    visited: jax.Array  # uint32 [Q, W] packed bitset
+    visited_count: jax.Array  # int32 [Q]
+    expanded_count: jax.Array  # int32 [Q]
+    iters: jax.Array  # int32 scalar
+
+
+def _gather_bits(visited: jax.Array, ids: jax.Array) -> jax.Array:
+    """visited ``[Q, W]``, ids ``[Q, R]`` (>=0) -> {0,1} int32 ``[Q, R]``."""
+    word = ids >> 5
+    bit = ids & (_WORD_BITS - 1)
+    w = jnp.take_along_axis(visited, word, axis=1)
+    return ((w >> bit.astype(jnp.uint32)) & 1).astype(jnp.int32)
+
+
+def _set_bits(visited: jax.Array, ids: jax.Array, mask: jax.Array) -> jax.Array:
+    """Set bit ``ids`` where ``mask``; exact via scatter-add because (word,bit)
+    pairs are unique within a row (row-uniqueness invariant + fresh mask)."""
+    word = ids >> 5
+    add = jnp.where(mask, jnp.uint32(1) << (ids & (_WORD_BITS - 1)).astype(jnp.uint32), 0)
+    q = jnp.broadcast_to(jnp.arange(visited.shape[0])[:, None], ids.shape)
+    return visited.at[q, word].add(add.astype(visited.dtype), mode="drop")
+
+
+def _merge_beam(
+    beam_ids, beam_scores, beam_expanded, new_ids, new_scores
+):
+    """Merge new scored candidates into the beam, keep top-L by score."""
+    L = beam_ids.shape[1]
+    ids = jnp.concatenate([beam_ids, new_ids], axis=1)
+    scores = jnp.concatenate([beam_scores, new_scores], axis=1)
+    expanded = jnp.concatenate(
+        [beam_expanded, jnp.zeros_like(new_ids, bool)], axis=1
+    )
+    # Sort desc by score; lax.sort is ascending so negate. Single fused sort
+    # carrying all three channels.
+    neg, ids_s, exp_s = jax.lax.sort(
+        (-scores, ids, expanded.astype(jnp.int32)), dimension=1, num_keys=1
+    )
+    return ids_s[:, :L], -neg[:, :L], exp_s[:, :L].astype(bool)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("beam_width", "max_iters", "expand_per_iter"),
+)
+def search_layer(
+    graph_neighbors: jax.Array,  # int32 [N, R]
+    provider,
+    qstate,
+    entry_ids: jax.Array,  # int32 [Q] or [Q, E] initial candidates
+    beam_width: int,
+    max_iters: int = 1000,
+    expand_per_iter: int = 1,
+    visited_init: jax.Array | None = None,
+) -> _BeamState:
+    """Run beam search to quiescence on one adjacency layer.
+
+    Returns the final beam (sorted desc); callers slice top-k / rerank.
+    """
+    N, R = graph_neighbors.shape
+    if entry_ids.ndim == 1:
+        entry_ids = entry_ids[:, None]
+    Q, E0 = entry_ids.shape
+    L = beam_width
+    words = (N + _WORD_BITS - 1) // _WORD_BITS
+
+    # --- init: score entry points, seed the beam -------------------------
+    safe_entries = jnp.maximum(entry_ids, 0)
+    entry_scores = jnp.where(
+        entry_ids >= 0, provider.score(qstate, safe_entries), NEG_INF
+    )
+    pad = L - E0
+    beam_ids = jnp.concatenate(
+        [entry_ids, jnp.full((Q, pad), -1, jnp.int32)], axis=1
+    )
+    beam_scores = jnp.concatenate(
+        [entry_scores, jnp.full((Q, pad), NEG_INF)], axis=1
+    )
+    order = jnp.argsort(-beam_scores, axis=1)
+    beam_ids = jnp.take_along_axis(beam_ids, order, axis=1)
+    beam_scores = jnp.take_along_axis(beam_scores, order, axis=1)
+    beam_expanded = jnp.zeros((Q, L), bool)
+
+    visited = (
+        visited_init
+        if visited_init is not None
+        else jnp.zeros((Q, words), jnp.uint32)
+    )
+    visited = _set_bits(visited, safe_entries, entry_ids >= 0)
+
+    state = _BeamState(
+        ids=beam_ids,
+        scores=beam_scores,
+        expanded=beam_expanded,
+        visited=visited,
+        visited_count=jnp.sum(entry_ids >= 0, axis=1).astype(jnp.int32),
+        expanded_count=jnp.zeros((Q,), jnp.int32),
+        iters=jnp.int32(0),
+    )
+
+    def cond(s: _BeamState):
+        has_unexpanded = jnp.any(~s.expanded & (s.scores > NEG_INF))
+        return has_unexpanded & (s.iters < max_iters)
+
+    def body(s: _BeamState) -> _BeamState:
+        # pick best unexpanded slot per query (the heap pop)
+        sel_scores = jnp.where(~s.expanded, s.scores, NEG_INF)
+        sel_idx = jnp.argmax(sel_scores, axis=1)  # [Q]
+        active = jnp.take_along_axis(sel_scores, sel_idx[:, None], axis=1)[:, 0] > NEG_INF
+        sel_id = jnp.take_along_axis(s.ids, sel_idx[:, None], axis=1)[:, 0]
+        safe_sel = jnp.where(active, sel_id, 0)
+
+        # mark expanded
+        expanded = s.expanded.at[jnp.arange(sel_idx.shape[0]), sel_idx].set(True)
+
+        # expand neighbors
+        nbrs = graph_neighbors[safe_sel]  # [Q, R]
+        valid = (nbrs >= 0) & active[:, None]
+        safe_nbrs = jnp.where(valid, nbrs, 0)
+        seen = _gather_bits(s.visited, safe_nbrs)
+        fresh = valid & (seen == 0)
+        visited2 = _set_bits(s.visited, safe_nbrs, fresh)
+
+        new_scores = jnp.where(
+            fresh, provider.score(qstate, safe_nbrs), NEG_INF
+        )
+        new_ids = jnp.where(fresh, nbrs, -1)
+
+        ids3, scores3, expanded3 = _merge_beam(
+            s.ids, s.scores, expanded, new_ids, new_scores
+        )
+        return _BeamState(
+            ids=ids3,
+            scores=scores3,
+            expanded=expanded3,
+            visited=visited2,
+            visited_count=s.visited_count + jnp.sum(fresh, axis=1).astype(jnp.int32),
+            expanded_count=s.expanded_count + active.astype(jnp.int32),
+            iters=s.iters + 1,
+        )
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+@partial(jax.jit, static_argnames=("top_k", "rerank_k", "beam_width", "max_iters"))
+def search(
+    graph: GraphIndex,
+    provider,
+    queries: jax.Array,  # [Q, D]
+    top_k: int,
+    beam_width: int | None = None,
+    rerank_k: int | None = None,
+    reranker=None,
+    max_iters: int = 1000,
+) -> SearchResult:
+    """Two-pass wave search (reference ``GraphSearcher.search:222-243``).
+
+    First pass runs the beam with ``provider`` (exact or compressed); if
+    ``reranker`` is given, the top ``rerank_k`` beam entries get exact
+    scores and the final top-k comes from those (``reranking:471-507``).
+    """
+    if beam_width is None:
+        beam_width = max(top_k, 100)
+    if rerank_k is None:
+        rerank_k = beam_width if reranker is not None else top_k
+
+    qstate = provider.prepare(queries)
+    Q = queries.shape[0]
+    entries = jnp.broadcast_to(graph.entry_node[None], (Q,)).astype(jnp.int32)
+
+    final = search_layer(
+        graph.base.neighbors,
+        provider,
+        qstate,
+        entries,
+        beam_width=beam_width,
+        max_iters=max_iters,
+    )
+
+    if reranker is None:
+        return SearchResult(
+            ids=final.ids[:, :top_k],
+            scores=final.scores[:, :top_k],
+            visited_count=final.visited_count,
+            expanded_count=final.expanded_count,
+            reranked_count=jnp.zeros((Q,), jnp.int32),
+        )
+
+    # exact rerank of the approximate top rerank_k
+    cand_ids = final.ids[:, :rerank_k]
+    cand_valid = cand_ids >= 0
+    safe = jnp.maximum(cand_ids, 0)
+    exact_scores = jnp.where(
+        cand_valid, reranker.score(reranker.prepare(queries), safe), NEG_INF
+    )
+    order = jnp.argsort(-exact_scores, axis=1)
+    ids = jnp.take_along_axis(cand_ids, order, axis=1)[:, :top_k]
+    scores = jnp.take_along_axis(exact_scores, order, axis=1)[:, :top_k]
+    return SearchResult(
+        ids=ids,
+        scores=scores,
+        visited_count=final.visited_count,
+        expanded_count=final.expanded_count,
+        reranked_count=jnp.sum(cand_valid, axis=1).astype(jnp.int32),
+    )

@@ -1,0 +1,24 @@
+"""Mesh sharding: multi-chip query waves and node-sharded scoring.
+
+The reference is single-process (SURVEY.md §2.9) — its scale-out hooks are
+``resume()``/``rerankFloor`` for caller-side multi-index scatter-gather.
+Here scale-out is first-class: data-parallel query waves over a
+``jax.sharding.Mesh`` and node-sharded scoring with top-k merge collectives
+over ICI.
+"""
+
+from jvector_tpu.parallel.sharding import (
+    make_mesh,
+    shard_queries,
+    replicate,
+    sharded_search,
+    sharded_brute_force,
+)
+
+__all__ = [
+    "make_mesh",
+    "shard_queries",
+    "replicate",
+    "sharded_search",
+    "sharded_brute_force",
+]

@@ -1,0 +1,163 @@
+"""Graph build + search tests (mirrors the reference's ``TestVectorGraph``
+recall-style assertions and ``TestNeighbors`` diversity semantics)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from jvector_tpu.graph import (
+    ExactScoreProvider,
+    GraphConfig,
+    build_graph,
+    search,
+)
+from jvector_tpu.graph.diversity import dedup_sorted_desc, robust_prune
+from jvector_tpu.graph.index import NEG_INF
+from jvector_tpu.graph.searcher import search_layer
+from jvector_tpu.ops.similarity import SimilarityFunction
+from jvector_tpu.util.datasets import recall_at_k, synthetic_dataset
+
+RNG = np.random.default_rng(7)
+
+
+@pytest.fixture(scope="module")
+def small_ds():
+    return synthetic_dataset(n=1500, dim=24, n_queries=30, k=10, n_clusters=15, seed=3)
+
+
+@pytest.fixture(scope="module")
+def built(small_ds):
+    cfg = GraphConfig(max_degree=16, ef_construction=40, wave_size=128)
+    graph, provider = build_graph(small_ds.base, small_ds.similarity, cfg)
+    return graph, provider, cfg
+
+
+def test_build_structure(built, small_ds):
+    graph, provider, cfg = built
+    n = small_ds.base.shape[0]
+    assert int(graph.num_nodes) == n
+    counts = np.asarray(graph.base.counts)
+    nbrs = np.asarray(graph.base.neighbors)
+    assert counts.max() <= cfg.max_degree  # cleanup enforced degree
+    assert counts.min() >= 1  # no orphans
+    # rows reference valid node ids, no self-edges, unique entries
+    for row_i in RNG.integers(0, n, size=40):
+        row = nbrs[row_i][: counts[row_i]]
+        assert (row >= 0).all() and (row < n).all()
+        assert row_i not in row
+        assert len(set(row.tolist())) == len(row)
+        # padding
+        assert (nbrs[row_i][counts[row_i] :] == -1).all()
+
+
+def test_recall_exact_search(built, small_ds):
+    graph, provider, _ = built
+    res = search(graph, provider, jnp.asarray(small_ds.queries), top_k=10, beam_width=40)
+    r = recall_at_k(np.asarray(res.ids), small_ds.ground_truth, 10)
+    assert r >= 0.95, f"recall@10 {r}"
+    # results sorted desc, ids valid
+    scores = np.asarray(res.scores)
+    assert (np.diff(scores, axis=1) <= 1e-6).all()
+    assert (np.asarray(res.ids) >= 0).all()
+
+
+def test_search_counters(built, small_ds):
+    graph, provider, _ = built
+    res = search(graph, provider, jnp.asarray(small_ds.queries[:4]), top_k=5, beam_width=20)
+    assert (np.asarray(res.visited_count) > 0).all()
+    assert (np.asarray(res.expanded_count) > 0).all()
+    assert (np.asarray(res.visited_count) >= np.asarray(res.expanded_count)).all()
+
+
+def test_search_exhaustive_on_tiny_graph():
+    """On a tiny fully-reachable graph with beam >= n, search == brute force."""
+    vecs = RNG.normal(size=(64, 8)).astype(np.float32)
+    cfg = GraphConfig(max_degree=8, ef_construction=32, wave_size=32)
+    graph, provider = build_graph(vecs, "euclidean", cfg)
+    queries = RNG.normal(size=(5, 8)).astype(np.float32)
+    res = search(graph, provider, jnp.asarray(queries), top_k=3, beam_width=64)
+    d2 = ((queries[:, None] - vecs[None]) ** 2).sum(-1)
+    want = np.argsort(d2, axis=1)[:, :3]
+    got = np.asarray(res.ids)
+    # allow ties: compare via distances
+    np.testing.assert_allclose(
+        np.take_along_axis(d2, got, 1), np.take_along_axis(d2, want, 1), rtol=1e-4
+    )
+
+
+def test_dedup_sorted_desc():
+    ids = jnp.asarray([[3, 5, 3, -1, 7, 5]])
+    scores = jnp.asarray([[0.9, 0.8, 0.95, -np.inf, 0.7, 0.1]])
+    out_ids, out_scores = dedup_sorted_desc(ids, scores)
+    oi = np.asarray(out_ids[0])
+    os = np.asarray(out_scores[0])
+    assert oi[:3].tolist() == [3, 5, 7]  # best copy kept, sorted desc
+    np.testing.assert_allclose(os[:3], [0.95, 0.8, 0.7], rtol=1e-6)
+    assert (oi[3:] == -1).all()
+
+
+def test_robust_prune_diversity():
+    """Two tight clusters of candidates: prune must pick from both."""
+    # candidate 0,1,2 nearly identical (high mutual sim); 3 distant
+    ids = jnp.asarray([[10, 11, 12, 13, -1]])
+    scores = jnp.asarray([[0.95, 0.94, 0.93, 0.5, -np.inf]])
+    simmat = jnp.asarray(
+        [
+            [
+                [1.0, 0.99, 0.99, 0.2, 0.0],
+                [0.99, 1.0, 0.99, 0.2, 0.0],
+                [0.99, 0.99, 1.0, 0.2, 0.0],
+                [0.2, 0.2, 0.2, 1.0, 0.0],
+                [0.0, 0.0, 0.0, 0.0, 1.0],
+            ]
+        ]
+    )
+    out_ids, out_scores, count = robust_prune(ids, scores, simmat, 2, alphas=(1.0,))
+    oi = np.asarray(out_ids[0])
+    # 10 selected first; 11,12 rejected (sim .99 > score*1.0); 13 accepted
+    assert oi[:2].tolist() == [10, 13]
+    assert int(count[0]) == 2
+
+
+def test_robust_prune_alpha_ramp_fills_degree():
+    """With relaxed alpha the near-duplicates get admitted to fill degree."""
+    ids = jnp.asarray([[10, 11, 12, -1]])
+    scores = jnp.asarray([[0.9, 0.89, 0.88, -np.inf]])
+    simmat = jnp.ones((1, 4, 4)) * 0.95
+    out_ids, _, count = robust_prune(ids, scores, simmat, 3, alphas=(1.0, 1.2))
+    # 0.95 > 0.89*1.0 rejects at alpha=1; 0.95 <= 0.89*1.2=1.068 accepts at 1.2
+    assert int(count[0]) == 3
+
+
+def test_search_layer_respects_adjacency():
+    """Hand-built two-cluster graph with no cross edges: search can't cross."""
+    vecs = np.zeros((8, 4), np.float32)
+    vecs[:4, 0] = [0.0, 0.1, 0.2, 0.3]
+    vecs[4:, 0] = [10.0, 10.1, 10.2, 10.3]
+    # ring within each cluster only
+    nbrs = np.full((8, 4), -1, np.int32)
+    for i in range(4):
+        nbrs[i, :2] = [(i + 1) % 4, (i - 1) % 4]
+    for i in range(4, 8):
+        nbrs[i, :2] = [4 + (i + 1 - 4) % 4, 4 + (i - 1 - 4) % 4]
+    provider = ExactScoreProvider(
+        vectors=jnp.asarray(vecs), sim=SimilarityFunction.EUCLIDEAN
+    )
+    q = jnp.asarray([[9.9, 0, 0, 0]], jnp.float32)
+    beam = search_layer(
+        jnp.asarray(nbrs), provider, provider.prepare(q),
+        jnp.asarray([0], jnp.int32), beam_width=8,
+    )
+    found = set(int(x) for x in np.asarray(beam.ids[0]) if x >= 0)
+    assert found == {0, 1, 2, 3}  # never crossed into the far cluster
+
+
+@pytest.mark.parametrize("sim", [SimilarityFunction.DOT_PRODUCT, SimilarityFunction.COSINE])
+def test_build_other_similarities(sim):
+    ds = synthetic_dataset(n=800, dim=16, n_queries=20, k=10, sim=sim, seed=11)
+    cfg = GraphConfig(max_degree=12, ef_construction=32, wave_size=128)
+    graph, provider = build_graph(ds.base, sim, cfg)
+    res = search(graph, provider, jnp.asarray(ds.queries), top_k=10, beam_width=32)
+    r = recall_at_k(np.asarray(res.ids), ds.ground_truth, 10)
+    assert r >= 0.9, f"{sim} recall@10 {r}"
