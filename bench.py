@@ -41,56 +41,89 @@ def main() -> None:
     import jax.numpy as jnp
 
     from jvector_tpu.graph import GraphConfig, build_graph, search
-    from jvector_tpu.util.datasets import exact_ground_truth, recall_at_k
+    from jvector_tpu.quantization import ProductQuantization
+    from jvector_tpu.util.datasets import (
+        exact_ground_truth,
+        recall_at_k,
+        synthetic_dataset,
+    )
 
     dev = jax.devices()[0]
-    rng = np.random.default_rng(0)
 
-    # SIFT-like corpus: clustered, 128-d
-    n_clusters = max(64, args.n // 10_000)
-    centers = rng.normal(0.0, 1.0, size=(n_clusters, args.dim)).astype(np.float32)
-    base = (
-        centers[rng.integers(0, n_clusters, size=args.n)]
-        + rng.normal(0.0, 0.35, size=(args.n, args.dim)).astype(np.float32)
-    ).astype(np.float32)
-    queries = (
-        centers[rng.integers(0, n_clusters, size=args.queries)]
-        + rng.normal(0.0, 0.35, size=(args.queries, args.dim)).astype(np.float32)
-    ).astype(np.float32)
-
+    ds = synthetic_dataset(
+        n=args.n,
+        dim=args.dim,
+        n_queries=args.queries,
+        k=args.top_k,
+        n_clusters=max(64, args.n // 10_000),
+        seed=0,
+    )
+    base, queries = ds.base, ds.queries
     gt = exact_ground_truth(base, queries[: args.gt_queries], args.top_k)
 
     # ---- build ------------------------------------------------------------
     cfg = GraphConfig(max_degree=32, ef_construction=100, wave_size=256)
     t0 = time.time()
-    graph, provider = build_graph(base, "euclidean", cfg)
+    graph, exact_provider = build_graph(base, "euclidean", cfg)
     jax.block_until_ready(graph.base.neighbors)
     build_s = time.time() - t0
 
-    # ---- pick operating point: smallest beam with recall >= floor ---------
-    qd = jnp.asarray(queries)
-    chosen = None
-    for beam in (int(args.top_k * oq) for oq in (2, 3, 5, 7, 10)):
-        beam = max(beam, args.top_k)
-        res = search(graph, provider, qd[: args.gt_queries], top_k=args.top_k, beam_width=beam)
-        r = recall_at_k(np.asarray(res.ids), gt, args.top_k)
-        if r >= RECALL_FLOOR:
-            chosen = (beam, r)
-            break
-        chosen = (beam, r)
-    beam, recall = chosen
+    # ---- PQ first pass + exact f32 rerank (the SIFT-1M reference config) --
+    t0 = time.time()
+    pq = ProductQuantization.compute(base, m=args.dim // 8, clusters=256)
+    pq_provider = pq.provider(pq.encode(base), "euclidean")
+    jax.block_until_ready(pq_provider.codes)
+    pq_s = time.time() - t0
 
-    # ---- QPS at the operating point ---------------------------------------
+    def run_pq(qs, beam):
+        return search(
+            graph,
+            pq_provider,
+            qs,
+            top_k=args.top_k,
+            beam_width=beam,
+            rerank_k=beam,
+            reranker=exact_provider,
+        )
+
+    def run_exact(qs, beam):
+        return search(graph, exact_provider, qs, top_k=args.top_k, beam_width=beam)
+
+    qd = jnp.asarray(queries)
     w = args.wave
     waves = [qd[i : i + w] for i in range(0, args.queries, w) if i + w <= args.queries]
-    # warmup/compile
-    search(graph, provider, waves[0], top_k=args.top_k, beam_width=beam).ids.block_until_ready()
-    t0 = time.time()
-    total = 0
-    for wv in waves:
-        search(graph, provider, wv, top_k=args.top_k, beam_width=beam).ids.block_until_ready()
-        total += wv.shape[0]
-    qps = total / (time.time() - t0)
+
+    def operating_point(run):
+        """Smallest beam hitting the recall floor, then measured QPS there."""
+        chosen = None
+        for oq in (2, 3, 5, 7, 10, 15, 20):
+            beam = max(args.top_k * oq, args.top_k)
+            res = run(qd[: args.gt_queries], beam)
+            r = recall_at_k(np.asarray(res.ids), gt, args.top_k)
+            chosen = (beam, r)
+            if r >= RECALL_FLOOR:
+                break
+        beam, recall = chosen
+        run(waves[0], beam).ids.block_until_ready()  # warmup/compile
+        t0 = time.time()
+        total = 0
+        for wv in waves:
+            run(wv, beam).ids.block_until_ready()
+            total += wv.shape[0]
+        return total / (time.time() - t0), recall, beam
+
+    # Evaluate both first-pass strategies, report the best one meeting the
+    # floor (the TPU's HBM bandwidth often makes exact f32 the better
+    # operating point in-memory; PQ wins when the corpus exceeds HBM).
+    exact_qps, exact_recall, exact_beam = operating_point(run_exact)
+    pq_qps, pq_recall, pq_beam = operating_point(run_pq)
+
+    candidates = [
+        ("exact_f32", exact_qps, exact_recall, exact_beam),
+        ("pq_adc+f32_rerank", pq_qps, pq_recall, pq_beam),
+    ]
+    ok = [c for c in candidates if c[2] >= RECALL_FLOOR] or candidates
+    mode, qps, recall, beam = max(ok, key=lambda c: c[1])
 
     print(
         json.dumps(
@@ -101,7 +134,13 @@ def main() -> None:
                 "vs_baseline": round(qps / REFERENCE_QPS, 3),
                 "recall": round(float(recall), 4),
                 "beam_width": beam,
+                "mode": mode,
                 "build_seconds": round(build_s, 1),
+                "pq_train_encode_seconds": round(pq_s, 1),
+                "exact_qps": round(exact_qps, 1),
+                "exact_recall": round(float(exact_recall), 4),
+                "pq_qps": round(pq_qps, 1),
+                "pq_recall": round(float(pq_recall), 4),
                 "device": str(dev),
             }
         )

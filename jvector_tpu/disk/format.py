@@ -1,0 +1,312 @@
+"""Versioned single-file index container.
+
+Layout (little-endian)::
+
+    [8B  magic "JVTPU\\x00" + u16 version]
+    [array blobs, each 64-byte aligned]
+    [JSON header]
+    [u64 header offset][u32 header length][4B footer magic "JVBD"]
+
+The footer magic matches the spirit of the reference's ``FOOTER_MAGIC``
+(``AbstractGraphIndexWriter.java:46-53``); the header is JSON instead of a
+binary struct because it is read once per open, never per query.  Every blob
+carries a CRC32 (reference ``RandomAccessWriter.checksum``).
+
+Writers may *reserve* an array extent up front and fill rows positionally
+later — that is the larger-than-memory incremental path
+(``RandomAccessOnDiskGraphIndexWriter.writeFeaturesInline:101-133``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import struct
+import zlib
+
+import numpy as np
+
+MAGIC = b"JVTPU\x00"
+FOOTER_MAGIC = b"JVBD"
+VERSION = 1
+_ALIGN = 64
+
+
+class FeatureId:
+    """Feature names (reference ``FeatureId`` enum, ``FeatureId.java:31-63``)."""
+
+    INLINE_VECTORS = "inline_vectors"
+    FUSED_PQ = "fused_pq"
+    NVQ_VECTORS = "nvq_vectors"
+    SEPARATED_VECTORS = "separated_vectors"
+    SEPARATED_NVQ = "separated_nvq"
+    PQ_CODES = "pq_codes"  # sidecar compressed vectors (reference PQVectors file)
+    BQ_CODES = "bq_codes"
+
+    ALL = (
+        INLINE_VECTORS,
+        FUSED_PQ,
+        NVQ_VECTORS,
+        SEPARATED_VECTORS,
+        SEPARATED_NVQ,
+        PQ_CODES,
+        BQ_CODES,
+    )
+
+
+@dataclasses.dataclass
+class _ArrayEntry:
+    dtype: str
+    shape: tuple[int, ...]
+    offset: int
+    nbytes: int
+    crc32: int | None
+
+
+class IndexFileWriter:
+    """Streaming writer: add arrays (whole or reserved+row-filled), then close.
+
+    Reference analog: ``OnDiskGraphIndexWriter`` (random-access, incremental)
+    + ``OnDiskSequentialGraphIndexWriter`` (append-only) in one — appends are
+    sequential, reserved extents are written positionally.
+    """
+
+    def __init__(self, path: str | os.PathLike):
+        self.path = str(path)
+        self._f = open(self.path, "wb+")
+        self._f.write(MAGIC + struct.pack("<H", VERSION))
+        self._arrays: dict[str, _ArrayEntry] = {}
+        self._meta: dict = {}
+        self._closed = False
+
+    def _align(self) -> int:
+        pos = self._f.seek(0, os.SEEK_END)
+        pad = (-pos) % _ALIGN
+        if pad:
+            self._f.write(b"\x00" * pad)
+        return pos + pad
+
+    def add_array(self, name: str, arr: np.ndarray) -> None:
+        arr = np.ascontiguousarray(arr)
+        off = self._align()
+        data = arr.tobytes()
+        self._f.write(data)
+        self._arrays[name] = _ArrayEntry(
+            dtype=arr.dtype.str,
+            shape=tuple(arr.shape),
+            offset=off,
+            nbytes=len(data),
+            crc32=zlib.crc32(data) & 0xFFFFFFFF,
+        )
+
+    def reserve_array(self, name: str, shape: tuple[int, ...], dtype) -> None:
+        """Reserve a zero-filled extent to be row-filled with :meth:`write_rows`."""
+        dt = np.dtype(dtype)
+        off = self._align()
+        nbytes = int(np.prod(shape)) * dt.itemsize
+        self._f.truncate(off + nbytes)
+        self._f.seek(off + nbytes)
+        self._arrays[name] = _ArrayEntry(
+            dtype=dt.str, shape=tuple(shape), offset=off, nbytes=nbytes, crc32=None
+        )
+
+    def write_rows(self, name: str, start_row: int, rows: np.ndarray) -> None:
+        """Positionally fill rows of a reserved array (the LTM inline path)."""
+        e = self._arrays[name]
+        dt = np.dtype(e.dtype)
+        rows = np.ascontiguousarray(rows, dtype=dt)
+        row_elems = int(np.prod(e.shape[1:])) if len(e.shape) > 1 else 1
+        assert rows.shape[1:] == e.shape[1:], f"row shape mismatch for {name}"
+        end = self._f.tell()
+        self._f.seek(e.offset + start_row * row_elems * dt.itemsize)
+        self._f.write(rows.tobytes())
+        self._f.seek(max(end, self._f.tell()))
+
+    def set_meta(self, **kv) -> None:
+        self._meta.update(kv)
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        header = {
+            "version": VERSION,
+            "meta": self._meta,
+            "arrays": {
+                k: dataclasses.asdict(v) for k, v in self._arrays.items()
+            },
+        }
+        hoff = self._align()
+        hbytes = json.dumps(header).encode()
+        self._f.write(hbytes)
+        self._f.write(struct.pack("<QI", hoff, len(hbytes)))
+        self._f.write(FOOTER_MAGIC)
+        self._f.flush()
+        os.fsync(self._f.fileno())
+        self._f.close()
+        self._closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class IndexFileReader:
+    """Memmap-backed reader (reference ``ReaderSupplier`` + mmap chain)."""
+
+    def __init__(self, path: str | os.PathLike):
+        self.path = str(path)
+        size = os.path.getsize(self.path)
+        with open(self.path, "rb") as f:
+            head = f.read(8)
+            if head[:6] != MAGIC:
+                raise ValueError(f"{path}: bad magic")
+            self.version = struct.unpack("<H", head[6:8])[0]
+            if self.version > VERSION:
+                raise ValueError(f"{path}: unsupported version {self.version}")
+            f.seek(size - 16)
+            tail = f.read(16)
+            if tail[12:] != FOOTER_MAGIC:
+                raise ValueError(f"{path}: bad footer (truncated file?)")
+            hoff, hlen = struct.unpack("<QI", tail[:12])
+            f.seek(hoff)
+            header = json.loads(f.read(hlen))
+        self.meta: dict = header["meta"]
+        self._arrays = {
+            k: _ArrayEntry(
+                dtype=v["dtype"],
+                shape=tuple(v["shape"]),
+                offset=v["offset"],
+                nbytes=v["nbytes"],
+                crc32=v["crc32"],
+            )
+            for k, v in header["arrays"].items()
+        }
+
+    def array_names(self) -> list[str]:
+        return list(self._arrays)
+
+    def has_array(self, name: str) -> bool:
+        return name in self._arrays
+
+    def read(self, name: str, mmap: bool = True, verify: bool = False) -> np.ndarray:
+        e = self._arrays[name]
+        if mmap and not verify:
+            return np.memmap(
+                self.path, dtype=np.dtype(e.dtype), mode="r", offset=e.offset,
+                shape=e.shape,
+            )
+        with open(self.path, "rb") as f:
+            f.seek(e.offset)
+            data = f.read(e.nbytes)
+        if verify and e.crc32 is not None:
+            got = zlib.crc32(data) & 0xFFFFFFFF
+            if got != e.crc32:
+                raise ValueError(f"{self.path}:{name}: CRC mismatch")
+        return np.frombuffer(data, dtype=np.dtype(e.dtype)).reshape(e.shape)
+
+
+# ---------------------------------------------------------------------------
+# Graph-level save / load
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class OnDiskIndex:
+    """A loaded index: graph arrays + feature arrays + metadata.
+
+    ``to_device()`` uploads the searchable pieces and returns
+    ``(GraphIndex, features-on-device)``.
+    """
+
+    reader: IndexFileReader
+
+    @property
+    def meta(self) -> dict:
+        return self.reader.meta
+
+    @property
+    def features(self) -> list[str]:
+        return self.meta.get("features", [])
+
+    def to_device(self):
+        import jax.numpy as jnp
+
+        from jvector_tpu.graph.index import NEG_INF, GraphIndex, GraphLayer
+
+        r = self.reader
+        levels = self.meta["num_levels"]
+        layers = []
+        level_ids = []
+        for l in range(levels):
+            nbrs = jnp.asarray(np.asarray(r.read(f"graph/L{l}/neighbors")))
+            counts = jnp.asarray(np.asarray(r.read(f"graph/L{l}/counts")))
+            name = f"graph/L{l}/scores"
+            if r.has_array(name):
+                scores = jnp.asarray(np.asarray(r.read(name)))
+            else:
+                scores = jnp.where(nbrs >= 0, 0.0, NEG_INF)
+            layers.append(GraphLayer(neighbors=nbrs, scores=scores, counts=counts))
+            if l >= 1:
+                level_ids.append(
+                    jnp.asarray(np.asarray(r.read(f"graph/L{l}/node_ids")))
+                )
+        n_cap = layers[0].neighbors.shape[0]
+        graph = GraphIndex(
+            layers=tuple(layers),
+            level_node_ids=tuple(level_ids),
+            entry_node=jnp.int32(self.meta["entry_node"]),
+            num_nodes=jnp.int32(self.meta["num_nodes"]),
+            deleted=jnp.zeros((n_cap,), bool),
+        )
+        feats = {}
+        for name in self.features:
+            feats[name] = {
+                key.split("/", 2)[2]: jnp.asarray(np.asarray(r.read(key)))
+                for key in r.array_names()
+                if key.startswith(f"feature/{name}/")
+            }
+        return graph, feats
+
+
+def write_index(
+    path: str | os.PathLike,
+    graph,
+    features: dict[str, dict[str, np.ndarray]] | None = None,
+    save_scores: bool = False,
+    **meta,
+) -> None:
+    """Persist a :class:`GraphIndex` (+ feature arrays) to ``path``.
+
+    ``features`` maps FeatureId -> {array name -> array}; e.g.
+    ``{FeatureId.INLINE_VECTORS: {"vectors": base}}``.  Edge scores are
+    dropped by default (the reference's on-disk graphs store only adjacency).
+    """
+    features = features or {}
+    with IndexFileWriter(path) as w:
+        num_levels = graph.num_levels
+        for l, layer in enumerate(graph.layers):
+            w.add_array(f"graph/L{l}/neighbors", np.asarray(layer.neighbors))
+            w.add_array(f"graph/L{l}/counts", np.asarray(layer.counts))
+            if save_scores:
+                w.add_array(f"graph/L{l}/scores", np.asarray(layer.scores))
+            if l >= 1:
+                w.add_array(
+                    f"graph/L{l}/node_ids", np.asarray(graph.level_node_ids[l - 1])
+                )
+        for fname, arrays in features.items():
+            for aname, arr in arrays.items():
+                w.add_array(f"feature/{fname}/{aname}", np.asarray(arr))
+        w.set_meta(
+            num_levels=num_levels,
+            entry_node=int(graph.entry_node),
+            num_nodes=int(graph.num_nodes),
+            features=list(features),
+            **meta,
+        )
+
+
+def load_index(path: str | os.PathLike) -> OnDiskIndex:
+    return OnDiskIndex(reader=IndexFileReader(path))

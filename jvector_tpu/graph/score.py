@@ -200,7 +200,7 @@ class ADCScoreProvider:
         return flat_luts_scores.reshape(B, Ca, Cb)
 
 
-@partial(_register, data_fields=["codes"], meta_fields=["dim"])
+@partial(_register, data_fields=["codes", "center"], meta_fields=["dim"])
 @dataclasses.dataclass(frozen=True)
 class BQScoreProvider:
     """Binary-quantized scoring: query packed once, XOR+popcount per candidate.
@@ -210,6 +210,7 @@ class BQScoreProvider:
     """
 
     codes: jax.Array  # [N, W] uint32 packed
+    center: jax.Array | None = None  # [D] centroid subtracted before sign test
     dim: int = 0
 
     @property
@@ -217,6 +218,8 @@ class BQScoreProvider:
         return False
 
     def prepare(self, queries: jax.Array) -> jax.Array:
+        if self.center is not None:
+            queries = queries - self.center
         return pack_bits(queries)
 
     def _sim(self, qcodes: jax.Array, codes: jax.Array) -> jax.Array:

@@ -1,0 +1,21 @@
+"""Quantization: PQ (plain + anisotropic), BQ, NVQ (TPU-native L3).
+
+Reference: ``jv/quantization/`` — ``ProductQuantization`` (k-means++ codebook
+training, anisotropic SCANN variant), ``BinaryQuantization``,
+``NVQuantization``, and their ``CompressedVectors`` score-function factories.
+Here training runs as vmapped ``lax`` loops over subspaces on device and the
+score factories produce the provider pytrees in ``jvector_tpu.graph.score``.
+"""
+
+from jvector_tpu.quantization.kmeans import kmeans, kmeans_pp_init
+from jvector_tpu.quantization.pq import ProductQuantization
+from jvector_tpu.quantization.bq import BinaryQuantization
+from jvector_tpu.quantization.nvq import NVQuantization
+
+__all__ = [
+    "kmeans",
+    "kmeans_pp_init",
+    "ProductQuantization",
+    "BinaryQuantization",
+    "NVQuantization",
+]

@@ -78,20 +78,29 @@ def synthetic_dataset(
     sim: SimilarityFunction = SimilarityFunction.EUCLIDEAN,
     n_clusters: int = 64,
     seed: int = 0,
+    latent_dim: int | None = None,
 ) -> DataSet:
-    """SIFT-like clustered synthetic corpus with exact ground truth.
+    """Embedding-like clustered synthetic corpus with exact ground truth.
 
-    Gaussian mixture (clusters make graph-ANN non-trivial, unlike uniform
-    noise where every neighbor list is random).
+    A Gaussian mixture in a low-dimensional latent space projected up to
+    ``dim`` with a small iid noise floor.  The low-rank spectrum mirrors real
+    embeddings/SIFT (strongly correlated dims) — iid full-rank noise would be
+    pathologically hard for PQ-style quantizers and unrepresentative.
     """
     rng = np.random.default_rng(seed)
-    centers = rng.normal(0.0, 1.0, size=(n_clusters, dim)).astype(np.float32)
-    assign = rng.integers(0, n_clusters, size=n)
-    base = centers[assign] + rng.normal(0.0, 0.35, size=(n, dim)).astype(np.float32)
-    qassign = rng.integers(0, n_clusters, size=n_queries)
-    queries = centers[qassign] + rng.normal(0.0, 0.35, size=(n_queries, dim)).astype(
-        np.float32
-    )
+    ld = latent_dim or max(8, min(dim // 4, 32))
+    proj = rng.normal(size=(ld, dim)).astype(np.float32)
+    proj /= np.linalg.norm(proj, axis=1, keepdims=True)
+    centers_z = rng.normal(0.0, 1.0, size=(n_clusters, ld)).astype(np.float32)
+
+    def sample(count: int) -> np.ndarray:
+        z = centers_z[rng.integers(0, n_clusters, size=count)] + rng.normal(
+            0.0, 0.35, size=(count, ld)
+        ).astype(np.float32)
+        return (z @ proj + rng.normal(0.0, 0.03, size=(count, dim))).astype(np.float32)
+
+    base = sample(n)
+    queries = sample(n_queries)
     if sim != SimilarityFunction.EUCLIDEAN:
         base /= np.linalg.norm(base, axis=1, keepdims=True)
         queries /= np.linalg.norm(queries, axis=1, keepdims=True)
