@@ -279,7 +279,57 @@ class GraphIndexBuilder:
 
         if cleanup:
             graph = self.cleanup(graph, provider, vectors)
+        if cfg.add_hierarchy:
+            graph = self.build_hierarchy(graph, vectors, sim)
         return graph, provider
+
+    def build_hierarchy(
+        self,
+        graph: GraphIndex,
+        vectors: jax.Array,
+        sim: SimilarityFunction,
+        seed: int = 0,
+    ) -> GraphIndex:
+        """Build HNSW-style upper levels as batched Vamana subgraphs.
+
+        Levels are assigned geometrically up front (reference
+        ``getRandomGraphLevel``); each level's subgraph is an ordinary wave
+        build over the subset, stored in slot space.
+        """
+        from jvector_tpu.graph.hierarchy import assign_levels
+        from jvector_tpu.graph.index import empty_layer
+
+        cfg = self.config
+        n = int(graph.num_nodes)
+        levels = assign_levels(n, cfg.max_degree, seed)
+        layers = [graph.base]
+        node_ids: list[jax.Array] = []
+        max_level = int(levels.max()) if n else 0
+        for l in range(1, max_level + 1):
+            ids = np.where(levels >= l)[0].astype(np.int32)
+            if len(ids) == 0:
+                break
+            if len(ids) == 1:
+                layers.append(empty_layer(1, cfg.row_cap))
+                node_ids.append(jnp.asarray(ids))
+                continue
+            sub_cfg = dataclasses.replace(
+                self.config,
+                wave_size=min(cfg.wave_size, max(32, len(ids))),
+                add_hierarchy=False,
+            )
+            sub_graph, _ = GraphIndexBuilder(sub_cfg).build(
+                vectors[jnp.asarray(ids)], sim, cleanup=True
+            )
+            layers.append(sub_graph.base)
+            node_ids.append(jnp.asarray(ids))
+        return GraphIndex(
+            layers=tuple(layers),
+            level_node_ids=tuple(node_ids),
+            entry_node=graph.entry_node,
+            num_nodes=graph.num_nodes,
+            deleted=graph.deleted,
+        )
 
     def cleanup(
         self, graph: GraphIndex, provider, vectors: jax.Array | None = None

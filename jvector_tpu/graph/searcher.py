@@ -191,7 +191,48 @@ def search_layer(
     return jax.lax.while_loop(cond, body, state)
 
 
-@partial(jax.jit, static_argnames=("top_k", "rerank_k", "beam_width", "max_iters"))
+def _descend_hierarchy(
+    graph: GraphIndex, provider, qstate, n_queries: int, hierarchy_beam: int
+) -> jax.Array:
+    """Upper-layer descent: returns per-query layer-0 entry ids ``[Q]``.
+
+    Seeds by scoring ALL top-level nodes in one batched gather, then runs a
+    narrow beam per middle level (reference descends with beam 1,
+    ``GraphSearcher.internalSearch:263-282``).
+    """
+    from jvector_tpu.graph.hierarchy import LevelProvider, slots_for
+
+    top_ids = graph.level_node_ids[-1]
+    n_top = top_ids.shape[0]
+    scores = provider.score(
+        qstate, jnp.broadcast_to(top_ids[None, :], (n_queries, n_top))
+    )
+    scores = jnp.where(graph.deleted[top_ids][None, :], NEG_INF, scores)
+    best = top_ids[jnp.argmax(scores, axis=1)]  # [Q] base ordinals
+    # if every top node is a hole, fall back to the (live) entry point
+    best = jnp.where(jnp.max(scores, axis=1) > NEG_INF, best, graph.entry_node)
+
+    for l in range(graph.num_levels - 2, 0, -1):
+        ids_l = graph.level_node_ids[l - 1]
+        lp = LevelProvider(inner=provider, node_ids=ids_l)
+        entry_slots = slots_for(ids_l, best)
+        beam = search_layer(
+            graph.layers[l].neighbors,
+            lp,
+            qstate,
+            entry_slots,
+            beam_width=hierarchy_beam,
+            max_iters=64,
+        )
+        top_slot = jnp.clip(beam.ids[:, 0], 0, ids_l.shape[0] - 1)
+        best = ids_l[top_slot]
+    return best
+
+
+@partial(
+    jax.jit,
+    static_argnames=("top_k", "rerank_k", "beam_width", "max_iters", "hierarchy_beam"),
+)
 def search(
     graph: GraphIndex,
     provider,
@@ -201,12 +242,15 @@ def search(
     rerank_k: int | None = None,
     reranker=None,
     max_iters: int = 1000,
+    hierarchy_beam: int = 1,
+    accept: jax.Array | None = None,  # bool [N] acceptOrds mask
 ) -> SearchResult:
     """Two-pass wave search (reference ``GraphSearcher.search:222-243``).
 
-    First pass runs the beam with ``provider`` (exact or compressed); if
-    ``reranker`` is given, the top ``rerank_k`` beam entries get exact
-    scores and the final top-k comes from those (``reranking:471-507``).
+    First pass descends the hierarchy (if any) then runs the layer-0 beam
+    with ``provider`` (exact or compressed); if ``reranker`` is given, the
+    top ``rerank_k`` beam entries get exact scores and the final top-k comes
+    from those (``reranking:471-507``).
     """
     if beam_width is None:
         beam_width = max(top_k, 100)
@@ -215,7 +259,10 @@ def search(
 
     qstate = provider.prepare(queries)
     Q = queries.shape[0]
-    entries = jnp.broadcast_to(graph.entry_node[None], (Q,)).astype(jnp.int32)
+    if graph.num_levels > 1:
+        entries = _descend_hierarchy(graph, provider, qstate, Q, hierarchy_beam)
+    else:
+        entries = jnp.broadcast_to(graph.entry_node[None], (Q,)).astype(jnp.int32)
 
     final = search_layer(
         graph.base.neighbors,
@@ -226,17 +273,36 @@ def search(
         max_iters=max_iters,
     )
 
+    def filter_allowed(ids, scores):
+        """Drop tombstoned / not-accepted nodes from results.
+
+        Deleted nodes stay traversable until cleanup (the reference keeps
+        them in the graph, filtering only results via ``Bits`` acceptOrds).
+        """
+        ok = ids >= 0
+        safe = jnp.maximum(ids, 0)
+        ok &= ~graph.deleted[safe]
+        if accept is not None:
+            ok &= accept[safe]
+        return jnp.where(ok, ids, -1), jnp.where(ok, scores, NEG_INF)
+
     if reranker is None:
+        ids, scores = filter_allowed(final.ids, final.scores)
+        order = jnp.argsort(-scores, axis=1)
+        ids = jnp.take_along_axis(ids, order, axis=1)[:, :top_k]
+        scores = jnp.take_along_axis(scores, order, axis=1)[:, :top_k]
         return SearchResult(
-            ids=final.ids[:, :top_k],
-            scores=final.scores[:, :top_k],
+            ids=ids,
+            scores=scores,
             visited_count=final.visited_count,
             expanded_count=final.expanded_count,
             reranked_count=jnp.zeros((Q,), jnp.int32),
         )
 
     # exact rerank of the approximate top rerank_k
-    cand_ids = final.ids[:, :rerank_k]
+    cand_ids, cand_scores = filter_allowed(
+        final.ids[:, :rerank_k], final.scores[:, :rerank_k]
+    )
     cand_valid = cand_ids >= 0
     safe = jnp.maximum(cand_ids, 0)
     exact_scores = jnp.where(
