@@ -11,7 +11,37 @@ Built from scratch in JAX/XLA/Pallas with the capabilities of datastax/jvector
 - ``bench``         — dataset loading, recall/QPS harness
 """
 
-from jvector_tpu.ops.similarity import SimilarityFunction
+import os as _os
+
+
+def _enable_persistent_compile_cache() -> None:
+    """Point JAX at an on-disk executable cache (opt out: JVTPU_NO_CACHE=1).
+
+    TPU compiles here are remote and expensive (tens of seconds per jitted
+    shape, per process); the persistent cache makes every process after the
+    first start warm — the framework equivalent of the reference shipping
+    prebuilt native kernels.
+    """
+    if _os.environ.get("JVTPU_NO_CACHE"):
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            cache = _os.environ.get(
+                "JVTPU_CACHE_DIR",
+                _os.path.join(_os.path.expanduser("~"), ".jvector_tpu_cache"),
+            )
+            _os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_persistent_compile_cache()
+
+from jvector_tpu.ops.similarity import SimilarityFunction  # noqa: E402
 
 __version__ = "0.1.0"
 

@@ -1,0 +1,259 @@
+"""Grid benchmark engine + YAML front-end.
+
+Reference: ``jvector-examples/.../Grid.java`` (the engine: build per-config
+indexes, evaluate topK x overquery grid) and ``BenchYAML`` (YAML-driven
+parameter grid, ``yaml-configs/index-parameters/default.yml`` schema).  The
+YAML parameter names match the reference so configs translate 1:1:
+``construction.outDegree/efConstruction/neighborOverflow/addHierarchy/
+compression(type PQ|BQ, m|mFactor, k, anisotropicThreshold)``,
+``search.topKOverquery``, reranking.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import json
+import os
+import time
+from typing import Any
+
+import numpy as np
+
+from jvector_tpu.bench.metrics import AccuracyMetrics, LatencyStats
+from jvector_tpu.util.datasets import DataSet
+
+
+@dataclasses.dataclass
+class GridConfig:
+    out_degree: list[int] = dataclasses.field(default_factory=lambda: [32])
+    ef_construction: list[int] = dataclasses.field(default_factory=lambda: [100])
+    neighbor_overflow: list[float] = dataclasses.field(default_factory=lambda: [1.2])
+    add_hierarchy: list[bool] = dataclasses.field(default_factory=lambda: [True])
+    compression: list[dict | None] = dataclasses.field(
+        default_factory=lambda: [None]
+    )  # e.g. {"type": "PQ", "mFactor": 8, "k": 256, "anisotropicThreshold": -1.0}
+    reranking: list[str] = dataclasses.field(default_factory=lambda: ["FP32"])
+    top_k_overquery: dict[int, list[float]] = dataclasses.field(
+        default_factory=lambda: {10: [1.0, 2.0, 5.0, 10.0], 100: [1.0, 2.0]}
+    )
+    wave_size: int = 1024
+
+    @staticmethod
+    def from_yaml_dict(y: dict) -> "GridConfig":
+        c = y.get("construction", {})
+        s = y.get("search", {})
+        comp = c.get("compression") or [None]
+        comp = [None if x in (None, "none") else x for x in comp]
+        tko = {
+            int(k): [float(v) for v in vs]
+            for k, vs in (s.get("topKOverquery") or {10: [2.0]}).items()
+        }
+        return GridConfig(
+            out_degree=[int(x) for x in c.get("outDegree", [32])],
+            ef_construction=[int(x) for x in c.get("efConstruction", [100])],
+            neighbor_overflow=[
+                float(str(x).rstrip("f")) for x in c.get("neighborOverflow", [1.2])
+            ],
+            add_hierarchy=[bool(x) for x in c.get("addHierarchy", [True])],
+            compression=comp,
+            reranking=[str(x) for x in c.get("reranking", ["FP32"])],
+            top_k_overquery=tko,
+        )
+
+
+class Grid:
+    """Build + evaluate every configuration over a dataset."""
+
+    def __init__(self, dataset: DataSet, config: GridConfig):
+        self.dataset = dataset
+        self.config = config
+        self.rows: list[dict[str, Any]] = []
+
+    # -- internals -----------------------------------------------------------
+
+    def _build(self, out_degree, efc, overflow, hierarchy):
+        from jvector_tpu.graph import GraphConfig, build_graph
+
+        cfg = GraphConfig(
+            max_degree=out_degree,
+            ef_construction=efc,
+            neighbor_overflow=overflow,
+            add_hierarchy=hierarchy,
+        )
+        t0 = time.time()
+        graph, provider = build_graph(
+            self.dataset.base, self.dataset.similarity, cfg
+        )
+        import jax
+
+        jax.block_until_ready(graph.base.neighbors)
+        return graph, provider, time.time() - t0
+
+    def _compression_provider(self, graph_provider, comp: dict | None):
+        ds = self.dataset
+        if comp is None:
+            return graph_provider, None, 0.0
+        t0 = time.time()
+        ctype = str(comp.get("type", "PQ")).upper()
+        if ctype == "PQ":
+            from jvector_tpu.quantization import ProductQuantization
+
+            m = comp.get("m")
+            if m is None:
+                m = max(1, ds.dimension // int(comp.get("mFactor", 8)))
+            pq = ProductQuantization.compute(
+                ds.base,
+                m=int(m),
+                clusters=int(comp.get("k", 256)),
+                globally_center=bool(comp.get("centerData", False)),
+                anisotropic_threshold=float(comp.get("anisotropicThreshold", -1.0)),
+            )
+            prov = pq.provider(pq.encode(ds.base), ds.similarity)
+        elif ctype == "BQ":
+            from jvector_tpu.quantization import BinaryQuantization
+
+            bq = BinaryQuantization.compute(ds.base)
+            prov = bq.provider(bq.encode(ds.base))
+        else:
+            raise ValueError(f"unknown compression type {ctype}")
+        import jax
+
+        jax.block_until_ready(jax.tree.leaves(prov)[0])
+        return prov, ctype, time.time() - t0
+
+    def _reranker(self, exact_provider, kind: str):
+        kind = kind.upper()
+        if kind in ("FP32", "F32", "EXACT"):
+            return exact_provider, 0.0
+        if kind == "NVQ":
+            from jvector_tpu.quantization import NVQuantization
+
+            t0 = time.time()
+            nvq = NVQuantization.compute(self.dataset.base)
+            prov = nvq.encode(self.dataset.base).provider(self.dataset.similarity)
+            return prov, time.time() - t0
+        if kind in ("NONE", "OFF"):
+            return None, 0.0
+        raise ValueError(f"unknown reranking {kind}")
+
+    # -- driver ----------------------------------------------------------------
+
+    def run(self, verbose: bool = True) -> list[dict]:
+        from jvector_tpu.graph import search
+        import jax.numpy as jnp
+
+        ds = self.dataset
+        queries = jnp.asarray(ds.queries)
+        cfg = self.config
+        for od, efc, ov, hier, comp, rr in itertools.product(
+            cfg.out_degree,
+            cfg.ef_construction,
+            cfg.neighbor_overflow,
+            cfg.add_hierarchy,
+            cfg.compression,
+            cfg.reranking,
+        ):
+            graph, exact_provider, build_s = self._build(od, efc, ov, hier)
+            first_pass, ctype, quant_s = self._compression_provider(
+                exact_provider, comp
+            )
+            reranker, rerank_quant_s = (
+                self._reranker(exact_provider, rr) if comp is not None else (None, 0.0)
+            )
+
+            for top_k, oqs in cfg.top_k_overquery.items():
+                for oq in oqs:
+                    beam = max(int(top_k * oq), top_k)
+                    w = min(cfg.wave_size, queries.shape[0])
+                    waves = [
+                        queries[i : i + w]
+                        for i in range(0, queries.shape[0] - w + 1, w)
+                    ]
+                    run1 = lambda q: search(
+                        graph,
+                        first_pass,
+                        q,
+                        top_k=top_k,
+                        beam_width=beam,
+                        rerank_k=beam if reranker is not None else None,
+                        reranker=reranker,
+                    )
+                    res = run1(waves[0])
+                    res.ids.block_until_ready()  # compile warmup
+                    secs, sizes, all_ids, visited = [], [], [], []
+                    for qv in waves:
+                        t0 = time.time()
+                        r = run1(qv)
+                        r.ids.block_until_ready()
+                        secs.append(time.time() - t0)
+                        sizes.append(qv.shape[0])
+                        all_ids.append(np.asarray(r.ids))
+                        visited.append(np.asarray(r.visited_count))
+                    ids = np.concatenate(all_ids, axis=0)
+                    n_eval = min(ids.shape[0], ds.ground_truth.shape[0])
+                    acc = AccuracyMetrics.compute(
+                        ids[:n_eval], ds.ground_truth, min(top_k, ds.ground_truth.shape[1])
+                    )
+                    lat = LatencyStats.compute(secs, sizes)
+                    row = {
+                        "dataset": ds.name,
+                        "outDegree": od,
+                        "efConstruction": efc,
+                        "neighborOverflow": ov,
+                        "addHierarchy": hier,
+                        "compression": ctype or "NONE",
+                        "reranking": rr if comp is not None else "NONE",
+                        "topK": top_k,
+                        "overquery": oq,
+                        "recall": round(acc.recall, 4),
+                        "MAP": round(acc.map, 4),
+                        "qps_avg": round(lat.qps_avg, 1),
+                        "qps_median": round(lat.qps_median, 1),
+                        "qps_max": round(lat.qps_max, 1),
+                        "latency_avg_ms": round(lat.avg_ms, 2),
+                        "latency_std_ms": round(lat.std_ms, 2),
+                        "latency_p999_ms": round(lat.p999_ms, 2),
+                        "mean_visited": round(float(np.mean(np.concatenate(visited))), 1),
+                        "index_build_time_s": round(build_s, 2),
+                        "quant_time_s": round(quant_s + rerank_quant_s, 2),
+                    }
+                    self.rows.append(row)
+                    if verbose:
+                        print(json.dumps(row))
+        return self.rows
+
+    # -- reporting (reference: ExperimentsCsvWriter / JsonlWriter) -------------
+
+    def write_csv(self, path: str) -> None:
+        import csv
+
+        if not self.rows:
+            return
+        with open(path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(self.rows[0]))
+            w.writeheader()
+            w.writerows(self.rows)
+
+    def write_jsonl(self, path: str) -> None:
+        with open(path, "w") as f:
+            for row in self.rows:
+                f.write(json.dumps(row) + "\n")
+
+
+def run_yaml(
+    yaml_path: str, dataset: DataSet, out_dir: str | None = None
+) -> list[dict]:
+    """BenchYAML equivalent: load a reference-schema YAML, run the grid."""
+    import yaml
+
+    with open(yaml_path) as f:
+        y = yaml.safe_load(f)
+    grid = Grid(dataset, GridConfig.from_yaml_dict(y))
+    rows = grid.run()
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        stamp = time.strftime("%Y%m%dT%H%M%S")
+        grid.write_csv(os.path.join(out_dir, f"experiments-{stamp}.csv"))
+        grid.write_jsonl(os.path.join(out_dir, f"experiments-{stamp}.jsonl"))
+    return rows

@@ -23,6 +23,7 @@ from jvector_tpu.disk.format import (
     write_index,
     OnDiskIndex,
 )
+from jvector_tpu.disk.compaction import CompactionSource, compact_indexes
 
 __all__ = [
     "FeatureId",
@@ -31,4 +32,6 @@ __all__ = [
     "load_index",
     "write_index",
     "OnDiskIndex",
+    "CompactionSource",
+    "compact_indexes",
 ]

@@ -1,0 +1,220 @@
+"""N:1 index compaction (streaming merge of segment indexes).
+
+Reference: ``jv/graph/disk/OnDiskGraphIndexCompactor.java`` (1779 LoC, the
+largest file) + ``docs/compaction.md``.  Per node per level the reference
+gathers candidates from the *same* source (existing neighbors, filtered +
+rescored) and from *other* sources (a beam search per other source), then
+applies Vamana diversity with alpha in {1.0, 1.2}; PQ sidecars are retrained
+on proportionally sampled merged data (``PQRetrainer``).
+
+TPU redesign: nodes are processed in batched waves — the per-node "beam
+search into every other source" becomes one query-wave ``search_layer`` per
+(wave, other-source) pair, and the merged rows are written by scatter.  No
+backlinks are needed: every output row is computed independently from both
+edge directions' candidates, so the merge is embarrassingly wave-parallel
+(the reference needs its batch pipeline + backpressure machinery instead,
+``runBatchesWithBackpressure:1290``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jvector_tpu.graph.builder import GraphIndexBuilder
+from jvector_tpu.graph.diversity import dedup_sorted_desc, robust_prune
+from jvector_tpu.graph.index import (
+    NEG_INF,
+    GraphConfig,
+    GraphIndex,
+    GraphLayer,
+    empty_graph,
+)
+from jvector_tpu.graph.score import ExactScoreProvider
+from jvector_tpu.graph.searcher import search_layer
+from jvector_tpu.ops.similarity import SimilarityFunction
+
+
+@dataclasses.dataclass
+class CompactionSource:
+    """One input segment: its graph, vectors, and an optional live mask."""
+
+    graph: GraphIndex
+    vectors: jax.Array  # [N_i, D]
+    live: np.ndarray | None = None  # bool [N_i]; None = all live
+
+    def live_ids(self) -> np.ndarray:
+        n = int(self.graph.num_nodes)
+        live = (
+            np.ones(n, bool)
+            if self.live is None
+            else np.asarray(self.live[:n], bool)
+        )
+        live &= ~np.asarray(self.graph.deleted[:n])
+        return np.where(live)[0].astype(np.int32)
+
+
+def compact_indexes(
+    sources: list[CompactionSource],
+    config: GraphConfig | None = None,
+    sim: SimilarityFunction | str = SimilarityFunction.EUCLIDEAN,
+    per_source_candidates: int = 32,
+    wave: int = 256,
+) -> tuple[GraphIndex, ExactScoreProvider, list[np.ndarray]]:
+    """Merge N segment indexes into one.
+
+    Returns ``(merged_graph, merged_provider, mappers)`` where ``mappers[i]``
+    maps source-i old ordinal -> new ordinal (-1 for dead ordinals), the
+    reference's ``OrdinalMapper`` contract.
+    """
+    sim = SimilarityFunction.parse(sim)
+    config = config or GraphConfig()
+    n_src = len(sources)
+
+    # ---- ordinal remap (OffsetMapper over live ids) ------------------------
+    live_ids = [s.live_ids() for s in sources]
+    offsets = np.cumsum([0] + [len(x) for x in live_ids])
+    total = int(offsets[-1])
+    mappers = []
+    for i, s in enumerate(sources):
+        m = np.full(int(s.graph.num_nodes), -1, np.int32)
+        m[live_ids[i]] = np.arange(len(live_ids[i]), dtype=np.int32) + offsets[i]
+        mappers.append(m)
+
+    merged_vectors = jnp.concatenate(
+        [s.vectors[jnp.asarray(ids)] for s, ids in zip(sources, live_ids)], axis=0
+    )
+    from jvector_tpu.graph.index import bucket_capacity
+
+    n_cap_out = bucket_capacity(total)
+    padded = merged_vectors
+    if n_cap_out > total:
+        padded = jnp.concatenate(
+            [
+                merged_vectors,
+                jnp.zeros((n_cap_out - total, merged_vectors.shape[1]), jnp.float32),
+            ]
+        )
+    merged_provider = ExactScoreProvider(vectors=padded, sim=sim)
+
+    out = empty_graph(n_cap_out, config)
+    out_layer = out.base
+    R_cap = out_layer.neighbors.shape[1]
+    M = config.max_degree
+
+    mapper_dev = [jnp.asarray(m) for m in mappers]
+    src_providers = [
+        ExactScoreProvider(vectors=s.vectors, sim=sim) for s in sources
+    ]
+
+    # ---- per-source waves ----------------------------------------------------
+    for si, s in enumerate(sources):
+        ids_i = live_ids[si]
+        for w0 in range(0, len(ids_i), wave):
+            batch = ids_i[w0 : w0 + wave]
+            b = len(batch)
+            pad = wave - b
+            batch_pad = np.concatenate([batch, np.full(pad, -1, np.int32)])
+            bdev = jnp.asarray(np.maximum(batch_pad, 0))
+            valid = jnp.asarray(batch_pad >= 0)
+            qvecs = s.vectors[bdev]  # [W, D]
+
+            # same-source: existing neighbors, live-filtered, remapped
+            nbrs = s.graph.base.neighbors[bdev]  # [W, R_src]
+            nbr_new = jnp.where(nbrs >= 0, mapper_dev[si][jnp.maximum(nbrs, 0)], -1)
+            qstate_merged = merged_provider.prepare(qvecs)
+            same_scores = jnp.where(
+                nbr_new >= 0,
+                merged_provider.score(qstate_merged, jnp.maximum(nbr_new, 0)),
+                NEG_INF,
+            )
+            cand_ids = [nbr_new]
+            cand_scores = [same_scores]
+
+            # other sources: query-wave beam search each, remap results
+            for sj in range(n_src):
+                if sj == si:
+                    continue
+                other = sources[sj]
+                prov_j = src_providers[sj]
+                qstate_j = prov_j.prepare(qvecs)
+                entries = jnp.where(
+                    valid, other.graph.entry_node, -1
+                ).astype(jnp.int32)
+                beam = search_layer(
+                    other.graph.base.neighbors,
+                    prov_j,
+                    qstate_j,
+                    entries,
+                    beam_width=max(per_source_candidates, config.max_degree),
+                    max_iters=config.max_build_iters,
+                )
+                got = beam.ids[:, :per_source_candidates]
+                got_new = jnp.where(
+                    got >= 0, mapper_dev[sj][jnp.maximum(got, 0)], -1
+                )
+                got_scores = jnp.where(
+                    got_new >= 0,
+                    merged_provider.score(qstate_merged, jnp.maximum(got_new, 0)),
+                    NEG_INF,
+                )
+                cand_ids.append(got_new)
+                cand_scores.append(got_scores)
+
+            cids = jnp.concatenate(cand_ids, axis=1)
+            cscores = jnp.concatenate(cand_scores, axis=1)
+            # mask self + invalid rows
+            self_new = mapper_dev[si][bdev]
+            cids = jnp.where(
+                (cids == self_new[:, None]) | ~valid[:, None], -1, cids
+            )
+            cscores = jnp.where(cids >= 0, cscores, NEG_INF)
+            # NOTE: no top-ef truncation here.  The same-source neighbors
+            # include the source graph's long-range (diversity/backlink)
+            # edges, which score LOW; dropping low-scoring candidates
+            # before the prune disconnects the merged graph (the alpha ramp
+            # is what decides which far edges survive, not the score).
+            cids, cscores = dedup_sorted_desc(cids, cscores)
+
+            simmat = merged_provider.pairwise(
+                jnp.maximum(cids, 0), jnp.maximum(cids, 0)
+            )
+            p_ids, p_scores, p_count = robust_prune(
+                cids, cscores, simmat, M, config.alphas
+            )
+
+            rows = jnp.where(valid, self_new, n_cap_out)
+            row_ids = jnp.concatenate(
+                [p_ids, jnp.full((wave, R_cap - M), -1, jnp.int32)], axis=1
+            )
+            row_scores = jnp.concatenate(
+                [p_scores, jnp.full((wave, R_cap - M), NEG_INF)], axis=1
+            )
+            out_layer = GraphLayer(
+                neighbors=out_layer.neighbors.at[rows].set(row_ids, mode="drop"),
+                scores=out_layer.scores.at[rows].set(row_scores, mode="drop"),
+                counts=out_layer.counts.at[rows].set(p_count, mode="drop"),
+            )
+
+    # ---- entry + hierarchy ----------------------------------------------------
+    centroid = jnp.mean(merged_vectors, axis=0, keepdims=True)
+    qstate = merged_provider.prepare(centroid)
+    entry = jnp.argmax(
+        merged_provider.score(qstate, jnp.arange(total, dtype=jnp.int32)[None, :])[0]
+    ).astype(jnp.int32)
+
+    merged = GraphIndex(
+        layers=(out_layer,),
+        level_node_ids=(),
+        entry_node=entry,
+        num_nodes=jnp.int32(total),
+        deleted=jnp.zeros((n_cap_out,), bool),
+    )
+    if config.add_hierarchy:
+        merged = GraphIndexBuilder(config).build_hierarchy(
+            merged, merged_vectors, sim
+        )
+    return merged, merged_provider, mappers

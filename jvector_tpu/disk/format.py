@@ -198,13 +198,15 @@ class IndexFileReader:
                 self.path, dtype=np.dtype(e.dtype), mode="r", offset=e.offset,
                 shape=e.shape,
             )
+        if verify and e.crc32 is not None:
+            from jvector_tpu.util.native import crc32_file
+
+            got = crc32_file(self.path, e.offset, e.nbytes)
+            if got != e.crc32:
+                raise ValueError(f"{self.path}:{name}: CRC mismatch")
         with open(self.path, "rb") as f:
             f.seek(e.offset)
             data = f.read(e.nbytes)
-        if verify and e.crc32 is not None:
-            got = zlib.crc32(data) & 0xFFFFFFFF
-            if got != e.crc32:
-                raise ValueError(f"{self.path}:{name}: CRC mismatch")
         return np.frombuffer(data, dtype=np.dtype(e.dtype)).reshape(e.shape)
 
 

@@ -39,6 +39,7 @@ from jvector_tpu.graph.index import (
     GraphConfig,
     GraphIndex,
     GraphLayer,
+    bucket_capacity,
     empty_graph,
 )
 from jvector_tpu.graph.score import ExactScoreProvider
@@ -264,12 +265,20 @@ class GraphIndexBuilder:
     ) -> tuple[GraphIndex, object]:
         sim = SimilarityFunction.parse(sim)
         vectors = jnp.asarray(vectors, jnp.float32)
-        n, _ = vectors.shape
+        n, d = vectors.shape
         cfg = self.config
         w = cfg.wave_size
+        n_cap = bucket_capacity(n)
         if provider is None:
-            provider = ExactScoreProvider(vectors=vectors, sim=sim)
-        graph = empty_graph(n, cfg)
+            # pad the provider to capacity so same-bucket builds share jits;
+            # padded rows are unreachable (no edges ever point at them)
+            pv = vectors
+            if n_cap > n:
+                pv = jnp.concatenate(
+                    [vectors, jnp.zeros((n_cap - n, d), jnp.float32)], axis=0
+                )
+            provider = ExactScoreProvider(vectors=pv, sim=sim)
+        graph = empty_graph(n_cap, cfg)
 
         for start in range(0, n, w):
             ids = np.arange(start, start + w, dtype=np.int32)

@@ -124,6 +124,20 @@ class GraphIndex(NamedTuple):
         return float(jnp.sum(self.base.counts[:n])) / n
 
 
+def bucket_capacity(n: int, min_bucket: int = 256) -> int:
+    """Round capacity up to a compile-friendly bucket (<=12.5% slack).
+
+    Distinct array shapes retrace/recompile every jitted step; bucketing to
+    8 sizes per octave makes builds over similar corpus sizes share compiles
+    (shard builds, compaction sources, growing indexes).
+    """
+    if n <= min_bucket:
+        return min_bucket
+    octave = 1 << ((n - 1).bit_length() - 1)  # largest power of two < n
+    step = max(octave // 8, min_bucket)
+    return ((n + step - 1) // step) * step
+
+
 def empty_layer(capacity: int, row_cap: int) -> GraphLayer:
     return GraphLayer(
         neighbors=jnp.full((capacity, row_cap), -1, jnp.int32),

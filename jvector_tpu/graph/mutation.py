@@ -181,9 +181,11 @@ def add_nodes(
     k = new_vectors.shape[0]
     n0 = int(graph.num_nodes)
     n_cap = graph.capacity
+    from jvector_tpu.graph.index import bucket_capacity
+
     need = n0 + k
     if need > n_cap:
-        pad = need - n_cap
+        pad = bucket_capacity(need) - n_cap
         base = graph.base
         layer = GraphLayer(
             neighbors=jnp.concatenate(

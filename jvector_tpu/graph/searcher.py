@@ -41,6 +41,9 @@ class SearchResult(NamedTuple):
     visited_count: jax.Array  # int32 [Q]
     expanded_count: jax.Array  # int32 [Q]
     reranked_count: jax.Array  # int32 [Q]
+    # approximate (first-pass) scores of the returned topK — the multi-index
+    # rerank-floor contract (reference worstApproximateScoreInTopK)
+    approx_scores: jax.Array = None  # float32 [Q, k] or None
 
 
 class _BeamState(NamedTuple):
@@ -244,6 +247,7 @@ def search(
     max_iters: int = 1000,
     hierarchy_beam: int = 1,
     accept: jax.Array | None = None,  # bool [N] acceptOrds mask
+    rerank_floor: jax.Array | None = None,  # f32 [Q]: skip rerank below this
 ) -> SearchResult:
     """Two-pass wave search (reference ``GraphSearcher.search:222-243``).
 
@@ -297,6 +301,7 @@ def search(
             visited_count=final.visited_count,
             expanded_count=final.expanded_count,
             reranked_count=jnp.zeros((Q,), jnp.int32),
+            approx_scores=scores,
         )
 
     # exact rerank of the approximate top rerank_k
@@ -304,6 +309,11 @@ def search(
         final.ids[:, :rerank_k], final.scores[:, :rerank_k]
     )
     cand_valid = cand_ids >= 0
+    if rerank_floor is not None:
+        # multi-index contract: skip exact scoring of candidates whose
+        # approximate score cannot reach the caller's current topK floor
+        cand_valid &= cand_scores >= rerank_floor[:, None]
+        cand_ids = jnp.where(cand_valid, cand_ids, -1)
     safe = jnp.maximum(cand_ids, 0)
     exact_scores = jnp.where(
         cand_valid, reranker.score(reranker.prepare(queries), safe), NEG_INF
@@ -311,10 +321,12 @@ def search(
     order = jnp.argsort(-exact_scores, axis=1)
     ids = jnp.take_along_axis(cand_ids, order, axis=1)[:, :top_k]
     scores = jnp.take_along_axis(exact_scores, order, axis=1)[:, :top_k]
+    approx = jnp.take_along_axis(cand_scores, order, axis=1)[:, :top_k]
     return SearchResult(
         ids=ids,
         scores=scores,
         visited_count=final.visited_count,
         expanded_count=final.expanded_count,
         reranked_count=jnp.sum(cand_valid, axis=1).astype(jnp.int32),
+        approx_scores=approx,
     )

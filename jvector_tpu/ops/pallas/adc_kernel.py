@@ -42,20 +42,30 @@ def _adc_kernel(luts_ref, codes_ref, out_ref):
     out_ref[:] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("query_block", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("query_block", "cand_block", "interpret")
+)
 def adc_score_pallas(
     luts: jax.Array,  # [Q, M, K] float32
     codes: jax.Array,  # [Q, C, M] int (any int dtype)
     query_block: int = 8,
+    cand_block: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
-    """Drop-in replacement for :func:`jvector_tpu.ops.adc.adc_score`."""
+    """Drop-in replacement for :func:`jvector_tpu.ops.adc.adc_score`.
+
+    Blocks over both queries and candidates so VMEM stays bounded even for
+    brute-force compressed scans (large C): per program the one-hot slice is
+    ``[QB, CB, K]`` (~4 MB at defaults).
+    """
     q, m_sub, k = luts.shape
     c = codes.shape[1]
     codes = codes.astype(jnp.int32)
 
     qb = min(query_block, q)
+    cb = min(cand_block, c)
     pad_q = (-q) % qb
+    pad_c = (-c) % cb
     if pad_q:
         luts = jnp.concatenate(
             [luts, jnp.zeros((pad_q, m_sub, k), luts.dtype)], axis=0
@@ -63,20 +73,28 @@ def adc_score_pallas(
         codes = jnp.concatenate(
             [codes, jnp.zeros((pad_q, c, m_sub), codes.dtype)], axis=0
         )
-    qp = q + pad_q
+    if pad_c:
+        codes = jnp.concatenate(
+            [codes, jnp.zeros((q + pad_q, pad_c, m_sub), codes.dtype)], axis=1
+        )
+    qp, cp = q + pad_q, c + pad_c
 
     out = pl.pallas_call(
         _adc_kernel,
-        grid=(qp // qb,),
+        grid=(qp // qb, cp // cb),
         in_specs=[
-            pl.BlockSpec((qb, m_sub, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((qb, c, m_sub), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (qb, m_sub, k), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (qb, cb, m_sub), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
         ],
-        out_specs=pl.BlockSpec((qb, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((qp, c), jnp.float32),
+        out_specs=pl.BlockSpec((qb, cb), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qp, cp), jnp.float32),
         interpret=interpret,
     )(luts, codes)
-    return out[:q]
+    return out[:q, :c]
 
 
 def _on_tpu() -> bool:

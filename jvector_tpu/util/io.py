@@ -17,7 +17,16 @@ import numpy as np
 
 
 def read_fvecs(path: str | os.PathLike, max_vectors: int | None = None) -> np.ndarray:
-    """Read a .fvecs file into a float32 ``[N, D]`` array."""
+    """Read a .fvecs file into a float32 ``[N, D]`` array.
+
+    Uses the native parallel parser when available (``util.native``);
+    the numpy path below is the fallback and the correctness reference.
+    """
+    from jvector_tpu.util import native
+
+    out = native.read_fvecs_native(str(path), max_vectors)
+    if out is not None:
+        return out
     data = np.fromfile(path, dtype=np.int32)
     if data.size == 0:
         return np.zeros((0, 0), np.float32)

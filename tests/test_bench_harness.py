@@ -1,0 +1,90 @@
+"""Bench harness tests (reference: AccuracyMetricsTest, BenchmarkSummarizerTest,
+BenchYAML schema)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from jvector_tpu.bench import Grid, GridConfig
+from jvector_tpu.bench.metrics import (
+    LatencyStats,
+    mean_average_precision,
+    recall_at_k,
+)
+from jvector_tpu.util.datasets import synthetic_dataset
+
+
+def test_recall_and_map():
+    gt = np.asarray([[1, 2, 3], [4, 5, 6]])
+    perfect = np.asarray([[3, 2, 1], [4, 5, 6]])
+    assert recall_at_k(perfect, gt, 3) == 1.0
+    assert mean_average_precision(np.asarray([[1, 2, 3]]), np.asarray([[1, 2, 3]]), 3) == 1.0
+    # one miss
+    res = np.asarray([[1, 9, 3], [4, 5, 9]])
+    assert recall_at_k(res, gt, 3) == pytest.approx(4 / 6)
+    # MAP penalizes late hits
+    late = mean_average_precision(np.asarray([[9, 9, 1]]), gt[:1], 3)
+    early = mean_average_precision(np.asarray([[1, 9, 9]]), gt[:1], 3)
+    assert early > late
+
+
+def test_latency_stats():
+    s = LatencyStats.compute([0.1, 0.2, 0.1], [100, 100, 100])
+    assert s.qps_max == pytest.approx(1000.0)
+    assert s.avg_ms == pytest.approx(133.333, rel=1e-3)
+
+
+def test_grid_runs_and_reports(tmp_path):
+    ds = synthetic_dataset(n=800, dim=16, n_queries=64, k=10, seed=5)
+    cfg = GridConfig(
+        out_degree=[8],
+        ef_construction=[24],
+        add_hierarchy=[False],
+        compression=[None, {"type": "PQ", "mFactor": 4, "k": 32}],
+        reranking=["FP32"],
+        top_k_overquery={10: [2.0]},
+        wave_size=64,
+    )
+    grid = Grid(ds, cfg)
+    rows = grid.run(verbose=False)
+    assert len(rows) == 2  # two compression configs x one (topK, oq)
+    assert {r["compression"] for r in rows} == {"NONE", "PQ"}
+    for r in rows:
+        assert r["recall"] > 0.5
+        assert r["qps_avg"] > 0
+        assert r["index_build_time_s"] > 0
+    grid.write_csv(tmp_path / "x.csv")
+    grid.write_jsonl(tmp_path / "x.jsonl")
+    lines = (tmp_path / "x.jsonl").read_text().strip().split("\n")
+    assert len(lines) == 2 and json.loads(lines[0])["topK"] == 10
+    assert (tmp_path / "x.csv").read_text().startswith("dataset,")
+
+
+def test_yaml_schema_parses(tmp_path):
+    yaml_text = """
+yamlSchemaVersion: 1
+construction:
+  outDegree: [8]
+  efConstruction: [24]
+  neighborOverflow: [1.2f]
+  addHierarchy: [No]
+  compression:
+    - type: PQ
+      mFactor: 4
+      k: 32
+  reranking: [FP32]
+search:
+  topKOverquery:
+    10: [2.0]
+"""
+    p = tmp_path / "cfg.yml"
+    p.write_text(yaml_text)
+    import yaml as pyyaml
+
+    cfg = GridConfig.from_yaml_dict(pyyaml.safe_load(yaml_text))
+    assert cfg.out_degree == [8]
+    assert cfg.neighbor_overflow == [1.2]
+    assert cfg.add_hierarchy == [False]
+    assert cfg.compression[0]["type"] == "PQ"
+    assert cfg.top_k_overquery == {10: [2.0]}

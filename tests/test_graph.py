@@ -37,10 +37,13 @@ def test_build_structure(built, small_ds):
     graph, provider, cfg = built
     n = small_ds.base.shape[0]
     assert int(graph.num_nodes) == n
-    counts = np.asarray(graph.base.counts)
+    assert graph.capacity >= n  # bucketed capacity
+    counts = np.asarray(graph.base.counts)[:n]
     nbrs = np.asarray(graph.base.neighbors)
     assert counts.max() <= cfg.max_degree  # cleanup enforced degree
     assert counts.min() >= 1  # no orphans
+    # padded capacity rows stay empty
+    assert (np.asarray(graph.base.counts)[n:] == 0).all()
     # rows reference valid node ids, no self-edges, unique entries
     for row_i in RNG.integers(0, n, size=40):
         row = nbrs[row_i][: counts[row_i]]

@@ -1,0 +1,53 @@
+"""Larger-than-memory build tests (reference tutorial 3: siftDiskAnnLTM)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from jvector_tpu.disk import FeatureId, load_index
+from jvector_tpu.disk.ltm import build_on_disk_ltm
+from jvector_tpu.graph import GraphConfig, search
+from jvector_tpu.graph.score import ExactScoreProvider
+from jvector_tpu.util.datasets import recall_at_k, synthetic_dataset
+
+
+def test_ltm_build_streams_and_searches(tmp_path):
+    ds = synthetic_dataset(n=3000, dim=32, n_queries=30, k=10, seed=71)
+    cfg = GraphConfig(max_degree=16, ef_construction=48, wave_size=256)
+
+    calls = []
+
+    def loader(a, b):
+        calls.append((a, b))
+        return ds.base[a:b]
+
+    path = str(tmp_path / "ltm.jvtpu")
+    graph, pq_provider = build_on_disk_ltm(
+        path, loader, n=3000, dim=32, config=cfg, pq_m=8
+    )
+    # streaming: loader called in bounded chunks, never the whole corpus
+    assert max(b - a for a, b in calls) <= 262_144
+    assert int(graph.num_nodes) == 3000
+
+    # search with the in-memory PQ working set + disk-resident rerank vectors
+    odi = load_index(path)
+    assert odi.meta["ltm"] is True
+    g2, feats = odi.to_device()
+    rerank = ExactScoreProvider(
+        vectors=feats[FeatureId.INLINE_VECTORS]["vectors"], sim=ds.similarity
+    )
+    res = search(
+        g2,
+        pq_provider,
+        jnp.asarray(ds.queries),
+        top_k=10,
+        beam_width=60,
+        rerank_k=60,
+        reranker=rerank,
+    )
+    r = recall_at_k(np.asarray(res.ids), ds.ground_truth, 10)
+    assert r >= 0.9, f"LTM recall {r}"
+
+    # the inline vectors on disk equal the source (streamed correctly)
+    v = np.asarray(feats[FeatureId.INLINE_VECTORS]["vectors"])
+    np.testing.assert_allclose(v, ds.base, rtol=1e-6)
