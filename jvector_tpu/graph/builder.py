@@ -363,6 +363,132 @@ class GraphIndexBuilder:
         return graph
 
 
+@partial(jax.jit, static_argnames=("config", "chunk"))
+def _refine_chunk(
+    graph: GraphIndex,
+    provider,
+    vectors: jax.Array,
+    start: jax.Array,
+    config: GraphConfig,
+    chunk: int,
+) -> GraphIndex:
+    """Re-search a chunk of nodes and merge the findings into their rows.
+
+    Reference: ``GraphIndexBuilder.improveConnections`` inside ``cleanup()``
+    (``:510-538``) — the refineFinalGraph pass.
+    """
+    layer = graph.base
+    N_cap, R_cap = layer.neighbors.shape
+    M = config.max_degree
+    rows = start + jnp.arange(chunk, dtype=jnp.int32)
+    safe_rows = jnp.minimum(rows, N_cap - 1)
+    valid_row = (rows < graph.num_nodes) & ~graph.deleted[safe_rows]
+
+    qvecs = vectors[jnp.minimum(safe_rows, vectors.shape[0] - 1)]
+    qstate = provider.prepare(qvecs)
+    entries = jnp.where(valid_row, graph.entry_node, -1).astype(jnp.int32)
+    beam = search_layer(
+        layer.neighbors,
+        provider,
+        qstate,
+        entries,
+        beam_width=config.ef_construction,
+        max_iters=config.max_build_iters,
+    )
+
+    old_ids = jnp.where(
+        jnp.arange(R_cap)[None, :] < layer.counts[safe_rows][:, None],
+        layer.neighbors[safe_rows],
+        -1,
+    )
+    old_scores = jnp.where(old_ids >= 0, layer.scores[safe_rows], NEG_INF)
+    cand_ids = jnp.concatenate([beam.ids, old_ids], axis=1)
+    cand_scores = jnp.concatenate([beam.scores, old_scores], axis=1)
+    # mask self-edges found by the search
+    cand_ids = jnp.where(cand_ids == safe_rows[:, None], -1, cand_ids)
+    cand_scores = jnp.where(cand_ids >= 0, cand_scores, NEG_INF)
+    cand_ids, cand_scores = dedup_sorted_desc(cand_ids, cand_scores)
+
+    simmat = _pairwise_from_provider(provider, cand_ids)
+    p_ids, p_scores, p_count = robust_prune(
+        cand_ids, cand_scores, simmat, M, config.alphas
+    )
+    row_ids = jnp.concatenate(
+        [p_ids, jnp.full((chunk, R_cap - M), -1, jnp.int32)], axis=1
+    )
+    row_scores = jnp.concatenate(
+        [p_scores, jnp.full((chunk, R_cap - M), NEG_INF)], axis=1
+    )
+    target = jnp.where(valid_row, rows, N_cap)
+    return graph._replace(
+        layers=(
+            GraphLayer(
+                neighbors=layer.neighbors.at[target].set(row_ids, mode="drop"),
+                scores=layer.scores.at[target].set(row_scores, mode="drop"),
+                counts=layer.counts.at[target].set(p_count, mode="drop"),
+            ),
+        )
+        + graph.layers[1:]
+    )
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _rescore_chunk(
+    graph: GraphIndex, provider, start: jax.Array, chunk: int
+) -> GraphIndex:
+    """Recompute edge scores of a row chunk with a (new) provider + resort.
+
+    Reference: ``GraphIndexBuilder.rescore():391-434`` — used after PQ
+    codebook fine-tuning so edge ordering matches the new scores.
+    """
+    layer = graph.base
+    N_cap, R_cap = layer.neighbors.shape
+    rows = start + jnp.arange(chunk, dtype=jnp.int32)
+    safe_rows = jnp.minimum(rows, N_cap - 1)
+    nbrs = layer.neighbors[safe_rows]
+    valid = (jnp.arange(R_cap)[None, :] < layer.counts[safe_rows][:, None]) & (
+        nbrs >= 0
+    )
+    scores = jnp.where(
+        valid, provider.score_nodes(safe_rows, jnp.maximum(nbrs, 0)), NEG_INF
+    )
+    ids = jnp.where(valid, nbrs, -1)
+    order = jnp.argsort(-scores, axis=1)
+    ids = jnp.take_along_axis(ids, order, axis=1)
+    scores = jnp.take_along_axis(scores, order, axis=1)
+    target = jnp.where(rows < N_cap, rows, N_cap)
+    return graph._replace(
+        layers=(
+            GraphLayer(
+                neighbors=layer.neighbors.at[target].set(ids, mode="drop"),
+                scores=layer.scores.at[target].set(scores, mode="drop"),
+                counts=layer.counts,
+            ),
+        )
+        + graph.layers[1:]
+    )
+
+
+def refine_graph(
+    graph: GraphIndex,
+    provider,
+    vectors: jax.Array,
+    config: GraphConfig,
+    chunk: int = 1024,
+) -> GraphIndex:
+    """Full refineFinalGraph pass over the base layer."""
+    for start in range(0, graph.capacity, chunk):
+        graph = _refine_chunk(graph, provider, vectors, jnp.int32(start), config, chunk)
+    return graph
+
+
+def rescore_graph(graph: GraphIndex, provider, chunk: int = 2048) -> GraphIndex:
+    """Recompute every edge score with ``provider`` (post PQ-refine)."""
+    for start in range(0, graph.capacity, chunk):
+        graph = _rescore_chunk(graph, provider, jnp.int32(start), chunk)
+    return graph
+
+
 def build_graph(
     vectors,
     sim: SimilarityFunction | str = SimilarityFunction.EUCLIDEAN,

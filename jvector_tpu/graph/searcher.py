@@ -154,20 +154,43 @@ def search_layer(
         has_unexpanded = jnp.any(~s.expanded & (s.scores > NEG_INF))
         return has_unexpanded & (s.iters < max_iters)
 
+    E = expand_per_iter
+    big = jnp.int32(2**30)
+
     def body(s: _BeamState) -> _BeamState:
-        # pick best unexpanded slot per query (the heap pop)
+        # pop the E best unexpanded slots per query (the heap pops)
         sel_scores = jnp.where(~s.expanded, s.scores, NEG_INF)
-        sel_idx = jnp.argmax(sel_scores, axis=1)  # [Q]
-        active = jnp.take_along_axis(sel_scores, sel_idx[:, None], axis=1)[:, 0] > NEG_INF
-        sel_id = jnp.take_along_axis(s.ids, sel_idx[:, None], axis=1)[:, 0]
-        safe_sel = jnp.where(active, sel_id, 0)
+        top_scores, sel_idx = jax.lax.top_k(sel_scores, E)  # [Q, E]
+        active = top_scores > NEG_INF  # [Q, E]
+        sel_ids = jnp.take_along_axis(s.ids, sel_idx, axis=1)  # [Q, E]
+        safe_sel = jnp.where(active, sel_ids, 0)
 
-        # mark expanded
-        expanded = s.expanded.at[jnp.arange(sel_idx.shape[0]), sel_idx].set(True)
+        # mark expanded (top_k indices are distinct per row)
+        qrows = jnp.broadcast_to(
+            jnp.arange(sel_idx.shape[0])[:, None], sel_idx.shape
+        )
+        expanded = s.expanded.at[qrows, sel_idx].set(True)
 
-        # expand neighbors
-        nbrs = graph_neighbors[safe_sel]  # [Q, R]
-        valid = (nbrs >= 0) & active[:, None]
+        # expand neighbors of all E pops at once
+        nbrs = graph_neighbors[safe_sel].reshape(s.ids.shape[0], -1)  # [Q, E*R]
+        valid = ((nbrs >= 0) & active[:, :, None].repeat(R, axis=2).reshape(
+            s.ids.shape[0], -1
+        ))
+        if E > 1:
+            # dedup within the gathered set: two pops may share neighbors.
+            # Required for the packed-bitset scatter-add to stay exact.
+            key = jnp.where(valid, nbrs, big)
+            key_sorted = jax.lax.sort(key, dimension=1)
+            dup = jnp.concatenate(
+                [
+                    jnp.zeros((key.shape[0], 1), bool),
+                    key_sorted[:, 1:] == key_sorted[:, :-1],
+                ],
+                axis=1,
+            )
+            nbrs = jnp.where(key_sorted >= big, -1, key_sorted)
+            valid = (nbrs >= 0) & ~dup
+
         safe_nbrs = jnp.where(valid, nbrs, 0)
         seen = _gather_bits(s.visited, safe_nbrs)
         fresh = valid & (seen == 0)
@@ -187,7 +210,8 @@ def search_layer(
             expanded=expanded3,
             visited=visited2,
             visited_count=s.visited_count + jnp.sum(fresh, axis=1).astype(jnp.int32),
-            expanded_count=s.expanded_count + active.astype(jnp.int32),
+            expanded_count=s.expanded_count
+            + jnp.sum(active, axis=1).astype(jnp.int32),
             iters=s.iters + 1,
         )
 
@@ -234,7 +258,15 @@ def _descend_hierarchy(
 
 @partial(
     jax.jit,
-    static_argnames=("top_k", "rerank_k", "beam_width", "max_iters", "hierarchy_beam"),
+    static_argnames=(
+        "top_k",
+        "rerank_k",
+        "beam_width",
+        "max_iters",
+        "hierarchy_beam",
+        "expand_per_iter",
+        "threshold",
+    ),
 )
 def search(
     graph: GraphIndex,
@@ -248,6 +280,9 @@ def search(
     hierarchy_beam: int = 1,
     accept: jax.Array | None = None,  # bool [N] acceptOrds mask
     rerank_floor: jax.Array | None = None,  # f32 [Q]: skip rerank below this
+    expand_per_iter: int = 1,
+    threshold: float = 0.0,  # drop results scoring below this similarity
+    exclude_ids: jax.Array | None = None,  # int32 [Q, P] drop from results
 ) -> SearchResult:
     """Two-pass wave search (reference ``GraphSearcher.search:222-243``).
 
@@ -275,10 +310,11 @@ def search(
         entries,
         beam_width=beam_width,
         max_iters=max_iters,
+        expand_per_iter=expand_per_iter,
     )
 
     def filter_allowed(ids, scores):
-        """Drop tombstoned / not-accepted nodes from results.
+        """Drop tombstoned / not-accepted / explicitly-excluded nodes.
 
         Deleted nodes stay traversable until cleanup (the reference keeps
         them in the graph, filtering only results via ``Bits`` acceptOrds).
@@ -288,7 +324,17 @@ def search(
         ok &= ~graph.deleted[safe]
         if accept is not None:
             ok &= accept[safe]
+        if exclude_ids is not None:
+            ok &= ~jnp.any(ids[:, :, None] == exclude_ids[:, None, :], axis=2)
         return jnp.where(ok, ids, -1), jnp.where(ok, scores, NEG_INF)
+
+    if threshold > 0.0:
+        # threshold search (reference: GraphSearcher.search with threshold +
+        # ScoreTracker): results below the similarity threshold are dropped.
+        final = final._replace(
+            ids=jnp.where(final.scores >= threshold, final.ids, -1),
+            scores=jnp.where(final.scores >= threshold, final.scores, NEG_INF),
+        )
 
     if reranker is None:
         ids, scores = filter_allowed(final.ids, final.scores)
@@ -329,4 +375,36 @@ def search(
         expanded_count=final.expanded_count,
         reranked_count=jnp.sum(cand_valid, axis=1).astype(jnp.int32),
         approx_scores=approx,
+    )
+
+
+def resume(
+    graph: GraphIndex,
+    provider,
+    queries: jax.Array,
+    previous: SearchResult,
+    top_k: int,
+    beam_width: int | None = None,
+    reranker=None,
+    **kwargs,
+) -> SearchResult:
+    """Pull the NEXT ``top_k`` results after ``previous``.
+
+    Reference: ``GraphSearcher.resume():509-547`` continues from evicted
+    candidate state; here the wave equivalent re-searches with a wider beam
+    and excludes the already-returned ids from the result set (the caller
+    contract — more results, none repeated — is identical).
+    """
+    prev_k = previous.ids.shape[1]
+    if beam_width is None:
+        beam_width = max(2 * (top_k + prev_k), 100)
+    return search(
+        graph,
+        provider,
+        queries,
+        top_k=top_k,
+        beam_width=beam_width,
+        reranker=reranker,
+        exclude_ids=previous.ids,
+        **kwargs,
     )

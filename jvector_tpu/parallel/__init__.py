@@ -14,6 +14,11 @@ from jvector_tpu.parallel.sharding import (
     sharded_search,
     sharded_brute_force,
 )
+from jvector_tpu.parallel.build import (
+    ShardedIndex,
+    sharded_build,
+    sharded_graph_search,
+)
 
 __all__ = [
     "make_mesh",
@@ -21,4 +26,7 @@ __all__ = [
     "replicate",
     "sharded_search",
     "sharded_brute_force",
+    "ShardedIndex",
+    "sharded_build",
+    "sharded_graph_search",
 ]

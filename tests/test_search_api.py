@@ -1,0 +1,101 @@
+"""Searcher API parity tests: threshold, resume, exclude, refine, rescore
+(reference: Test2DThreshold, testResume, rescore, improveConnections)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from jvector_tpu.graph import GraphConfig, build_graph, search
+from jvector_tpu.graph.builder import refine_graph, rescore_graph
+from jvector_tpu.graph.searcher import resume
+from jvector_tpu.util.datasets import recall_at_k, synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def built():
+    ds = synthetic_dataset(n=1500, dim=24, n_queries=25, k=50, seed=101)
+    cfg = GraphConfig(max_degree=16, ef_construction=40, wave_size=128)
+    graph, provider = build_graph(ds.base, ds.similarity, cfg)
+    return ds, cfg, graph, provider
+
+
+def test_threshold_search(built):
+    ds, cfg, graph, provider = built
+    q = jnp.asarray(ds.queries)
+    res_all = search(graph, provider, q, top_k=20, beam_width=60)
+    thr = float(np.median(np.asarray(res_all.scores)))
+    res_thr = search(graph, provider, q, top_k=20, beam_width=60, threshold=thr)
+    ids = np.asarray(res_thr.ids)
+    scores = np.asarray(res_thr.scores)
+    assert (scores[ids >= 0] >= thr).all()
+    # some results were filtered (the median cuts ~half)
+    assert (ids < 0).sum() > 0
+
+
+def test_resume_returns_fresh_results(built):
+    ds, cfg, graph, provider = built
+    q = jnp.asarray(ds.queries)
+    first = search(graph, provider, q, top_k=10, beam_width=40)
+    more = resume(graph, provider, q, first, top_k=10)
+    a = np.asarray(first.ids)
+    b = np.asarray(more.ids)
+    for row_a, row_b in zip(a, b):
+        assert not set(row_a.tolist()) & set(x for x in row_b.tolist() if x >= 0)
+    # first + resumed ~ exact top-20
+    combined = np.concatenate([a, b], axis=1)
+    r = recall_at_k(combined, ds.ground_truth[:, :20], 20)
+    assert r >= 0.9, f"resume combined recall {r}"
+
+
+def test_refine_improves_or_holds_recall(built):
+    ds, cfg, graph, provider = built
+    q = jnp.asarray(ds.queries)
+    base_r = recall_at_k(
+        np.asarray(search(graph, provider, q, top_k=10, beam_width=20).ids),
+        ds.ground_truth,
+        10,
+    )
+    refined = refine_graph(graph, provider, jnp.asarray(ds.base), cfg, chunk=512)
+    ref_r = recall_at_k(
+        np.asarray(search(refined, provider, q, top_k=10, beam_width=20).ids),
+        ds.ground_truth,
+        10,
+    )
+    assert ref_r >= base_r - 0.01, f"refine hurt recall: {base_r} -> {ref_r}"
+    counts = np.asarray(refined.base.counts)[:1500]
+    assert counts.max() <= cfg.max_degree
+
+
+def test_rescore_keeps_sets_resorts(built):
+    ds, cfg, graph, provider = built
+    rescored = rescore_graph(graph, provider, chunk=512)
+    n = 1500
+    old_n = np.asarray(graph.base.neighbors)[:n]
+    new_n = np.asarray(rescored.base.neighbors)[:n]
+    counts = np.asarray(graph.base.counts)[:n]
+    for i in range(0, n, 97):
+        c = counts[i]
+        assert set(old_n[i][:c].tolist()) == set(new_n[i][:c].tolist())
+    s = np.asarray(rescored.base.scores)[:n]
+    for i in range(0, n, 97):
+        c = counts[i]
+        assert (np.diff(s[i][:c]) <= 1e-6).all()  # sorted desc
+
+
+def test_expand_per_iter_recall_parity(built):
+    ds, cfg, graph, provider = built
+    q = jnp.asarray(ds.queries)
+    r1 = recall_at_k(
+        np.asarray(search(graph, provider, q, top_k=10, beam_width=40).ids),
+        ds.ground_truth,
+        10,
+    )
+    r4 = recall_at_k(
+        np.asarray(
+            search(graph, provider, q, top_k=10, beam_width=40, expand_per_iter=4).ids
+        ),
+        ds.ground_truth,
+        10,
+    )
+    assert r4 >= r1 - 0.02, f"multi-expansion hurt recall: {r1} -> {r4}"
