@@ -50,12 +50,15 @@ def main() -> None:
 
     dev = jax.devices()[0]
 
+    # n/500 points per cluster calibrates graph-search difficulty to real
+    # SIFT-1M behavior (HNSW-class recall ~0.97 at ef=50); coarser clustering
+    # makes the corpus artificially hard (ultra-dense cluster cores).
     ds = synthetic_dataset(
         n=args.n,
         dim=args.dim,
         n_queries=args.queries,
         k=args.top_k,
-        n_clusters=max(64, args.n // 10_000),
+        n_clusters=max(64, args.n // 500),
         seed=0,
     )
     base, queries = ds.base, ds.queries

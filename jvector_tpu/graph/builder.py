@@ -82,6 +82,7 @@ def _insert_wave(
         entries,
         beam_width=ef,
         max_iters=config.max_build_iters,
+        expand_per_iter=config.build_expand,
     )
 
     # -- 2. intra-wave candidates (replaces insertionsInProgress) --------

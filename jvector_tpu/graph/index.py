@@ -54,6 +54,9 @@ class GraphConfig:
     add_hierarchy: bool = False
     # Max beam-search iterations during build (safety bound for while_loop).
     max_build_iters: int = 400
+    # Beam expansions per iteration during build searches (trades a few
+    # extra scored edges for proportionally fewer sequential loop steps).
+    build_expand: int = 1
 
     @property
     def overflow_degree(self) -> int:

@@ -57,14 +57,19 @@ class ExactScoreProvider:
 
     def prepare(self, queries: jax.Array) -> jax.Array:
         """Per-wave query state (the analog of building the query's decoder)."""
+        queries = queries.astype(jnp.float32)
         if self.sim == SimilarityFunction.COSINE:
             n = jnp.sqrt(jnp.sum(queries * queries, axis=-1, keepdims=True))
             return queries / jnp.maximum(n, 1e-30)
         return queries
 
     def score(self, qstate: jax.Array, ids: jax.Array) -> jax.Array:
-        """Score queries against node ids: qstate ``[Q, D]``, ids ``[Q, R]`` -> ``[Q, R]``."""
-        vecs = self.vectors[ids]  # [Q, R, D]
+        """Score queries against node ids: qstate ``[Q, D]``, ids ``[Q, R]`` -> ``[Q, R]``.
+
+        ``vectors`` may be stored bfloat16 (half the HBM gather traffic);
+        arithmetic is promoted to f32 after the gather.
+        """
+        vecs = self.vectors[ids].astype(jnp.float32)  # [Q, R, D]
         if self.sim == SimilarityFunction.DOT_PRODUCT:
             raw = jnp.einsum("qd,qrd->qr", qstate, vecs, preferred_element_type=jnp.float32)
         elif self.sim == SimilarityFunction.COSINE:
@@ -87,8 +92,8 @@ class ExactScoreProvider:
 
         The diversity-prune kernel (``diversityFunctionFor`` in the reference).
         """
-        va = self.vectors[ids_a]  # [B, Ca, D]
-        vb = self.vectors[ids_b]  # [B, Cb, D]
+        va = self.vectors[ids_a].astype(jnp.float32)  # [B, Ca, D]
+        vb = self.vectors[ids_b].astype(jnp.float32)  # [B, Cb, D]
         dots = jnp.einsum("bcd,bed->bce", va, vb, preferred_element_type=jnp.float32)
         if self.sim == SimilarityFunction.DOT_PRODUCT:
             raw = dots

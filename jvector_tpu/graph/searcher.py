@@ -50,26 +50,46 @@ class _BeamState(NamedTuple):
     ids: jax.Array  # int32 [Q, L]
     scores: jax.Array  # float32 [Q, L]
     expanded: jax.Array  # bool [Q, L]
-    visited: jax.Array  # uint32 [Q, W] packed bitset
+    visited: jax.Array  # uint32 [Q, W] packed HASHED bitset
     visited_count: jax.Array  # int32 [Q]
     expanded_count: jax.Array  # int32 [Q]
     iters: jax.Array  # int32 scalar
 
 
-def _gather_bits(visited: jax.Array, ids: jax.Array) -> jax.Array:
-    """visited ``[Q, W]``, ids ``[Q, R]`` (>=0) -> {0,1} int32 ``[Q, R]``."""
-    word = ids >> 5
-    bit = ids & (_WORD_BITS - 1)
+# The visited set is a per-query HASHED bitset of 2^hash_bits slots, not an
+# exact N-bit set.  Rationale (from profiling at N=1M, Q=1024): an exact
+# bitset is a 128 MB while_loop carry, and XLA's scatter re-materializes +
+# layout-copies it every iteration (~2.6 ms/iter, 75% of loop cost).  The
+# hashed set is N-independent (32 KB/query at the default 18 bits), which
+# also makes 100M-node searches feasible.  Hash collisions make a fresh node
+# look visited (it gets skipped) — the same accepted trade as GPU ANN hash
+# tables; with ~4k visited and 2^18 slots the false-positive rate is ~1.6%.
+DEFAULT_HASH_BITS = 18
+_HASH_MULT = jnp.uint32(0x9E3779B1)  # Knuth multiplicative hash
+
+
+def _hash_slots(ids: jax.Array, hash_bits: int) -> jax.Array:
+    """Node id -> hashed bit slot in [0, 2^hash_bits)."""
+    h = ids.astype(jnp.uint32) * _HASH_MULT
+    return (h >> (32 - hash_bits)).astype(jnp.int32)
+
+
+def _gather_bits(visited: jax.Array, slots: jax.Array) -> jax.Array:
+    """visited ``[Q, W]``, slots ``[Q, R]`` -> {0,1} int32 ``[Q, R]``."""
+    word = slots >> 5
+    bit = slots & (_WORD_BITS - 1)
     w = jnp.take_along_axis(visited, word, axis=1)
     return ((w >> bit.astype(jnp.uint32)) & 1).astype(jnp.int32)
 
 
-def _set_bits(visited: jax.Array, ids: jax.Array, mask: jax.Array) -> jax.Array:
-    """Set bit ``ids`` where ``mask``; exact via scatter-add because (word,bit)
-    pairs are unique within a row (row-uniqueness invariant + fresh mask)."""
-    word = ids >> 5
-    add = jnp.where(mask, jnp.uint32(1) << (ids & (_WORD_BITS - 1)).astype(jnp.uint32), 0)
-    q = jnp.broadcast_to(jnp.arange(visited.shape[0])[:, None], ids.shape)
+def _set_bits(visited: jax.Array, slots: jax.Array, mask: jax.Array) -> jax.Array:
+    """Set bit ``slots`` where ``mask``; exact via scatter-add because the
+    caller guarantees slots are unique within a row where mask is set."""
+    word = slots >> 5
+    add = jnp.where(
+        mask, jnp.uint32(1) << (slots & (_WORD_BITS - 1)).astype(jnp.uint32), 0
+    )
+    q = jnp.broadcast_to(jnp.arange(visited.shape[0])[:, None], slots.shape)
     return visited.at[q, word].add(add.astype(visited.dtype), mode="drop")
 
 
@@ -93,7 +113,7 @@ def _merge_beam(
 
 @partial(
     jax.jit,
-    static_argnames=("beam_width", "max_iters", "expand_per_iter"),
+    static_argnames=("beam_width", "max_iters", "expand_per_iter", "hash_bits"),
 )
 def search_layer(
     graph_neighbors: jax.Array,  # int32 [N, R]
@@ -104,6 +124,7 @@ def search_layer(
     max_iters: int = 1000,
     expand_per_iter: int = 1,
     visited_init: jax.Array | None = None,
+    hash_bits: int = DEFAULT_HASH_BITS,
 ) -> _BeamState:
     """Run beam search to quiescence on one adjacency layer.
 
@@ -114,7 +135,8 @@ def search_layer(
         entry_ids = entry_ids[:, None]
     Q, E0 = entry_ids.shape
     L = beam_width
-    words = (N + _WORD_BITS - 1) // _WORD_BITS
+    words = (1 << hash_bits) // _WORD_BITS
+    n_slots = jnp.int32(1 << hash_bits)
 
     # --- init: score entry points, seed the beam -------------------------
     safe_entries = jnp.maximum(entry_ids, 0)
@@ -138,7 +160,21 @@ def search_layer(
         if visited_init is not None
         else jnp.zeros((Q, words), jnp.uint32)
     )
-    visited = _set_bits(visited, safe_entries, entry_ids >= 0)
+    # entry slots are distinct per query only if E0==1; dedup via sort is
+    # overkill here — entries come from distinct nodes whose hash collisions
+    # at init merely mark an extra slot (safe: add of equal bits only when
+    # slots equal, so mask the later duplicates).
+    entry_slots = _hash_slots(safe_entries, hash_bits)
+    if E0 > 1:
+        srt = jnp.sort(jnp.where(entry_ids >= 0, entry_slots, n_slots), axis=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((Q, 1), bool), srt[:, 1:] == srt[:, :-1]], axis=1
+        )
+        visited = _set_bits(
+            visited, jnp.minimum(srt, n_slots - 1), (srt < n_slots) & ~dup
+        )
+    else:
+        visited = _set_bits(visited, entry_slots, entry_ids >= 0)
 
     state = _BeamState(
         ids=beam_ids,
@@ -155,7 +191,6 @@ def search_layer(
         return has_unexpanded & (s.iters < max_iters)
 
     E = expand_per_iter
-    big = jnp.int32(2**30)
 
     def body(s: _BeamState) -> _BeamState:
         # pop the E best unexpanded slots per query (the heap pops)
@@ -176,26 +211,30 @@ def search_layer(
         valid = ((nbrs >= 0) & active[:, :, None].repeat(R, axis=2).reshape(
             s.ids.shape[0], -1
         ))
-        if E > 1:
-            # dedup within the gathered set: two pops may share neighbors.
-            # Required for the packed-bitset scatter-add to stay exact.
-            key = jnp.where(valid, nbrs, big)
-            key_sorted = jax.lax.sort(key, dimension=1)
-            dup = jnp.concatenate(
-                [
-                    jnp.zeros((key.shape[0], 1), bool),
-                    key_sorted[:, 1:] == key_sorted[:, :-1],
-                ],
-                axis=1,
-            )
-            nbrs = jnp.where(key_sorted >= big, -1, key_sorted)
-            valid = (nbrs >= 0) & ~dup
 
-        safe_nbrs = jnp.where(valid, nbrs, 0)
-        seen = _gather_bits(s.visited, safe_nbrs)
+        # sort by hashed slot + dedup: keeps the bitset scatter-add exact
+        # under hash collisions AND dedups shared neighbors across E pops.
+        slots = _hash_slots(nbrs, hash_bits)
+        key = jnp.where(valid, slots, n_slots)
+        key_sorted, nbrs_sorted = jax.lax.sort(
+            (key, nbrs), dimension=1, num_keys=1
+        )
+        dup = jnp.concatenate(
+            [
+                jnp.zeros((key.shape[0], 1), bool),
+                key_sorted[:, 1:] == key_sorted[:, :-1],
+            ],
+            axis=1,
+        )
+        valid = (key_sorted < n_slots) & ~dup
+        nbrs = jnp.where(valid, nbrs_sorted, -1)
+        slots_sorted = jnp.minimum(key_sorted, n_slots - 1)
+
+        seen = _gather_bits(s.visited, slots_sorted)
         fresh = valid & (seen == 0)
-        visited2 = _set_bits(s.visited, safe_nbrs, fresh)
+        visited2 = _set_bits(s.visited, slots_sorted, fresh)
 
+        safe_nbrs = jnp.where(fresh, nbrs, 0)
         new_scores = jnp.where(
             fresh, provider.score(qstate, safe_nbrs), NEG_INF
         )
@@ -266,6 +305,7 @@ def _descend_hierarchy(
         "hierarchy_beam",
         "expand_per_iter",
         "threshold",
+        "hash_bits",
     ),
 )
 def search(
@@ -283,6 +323,7 @@ def search(
     expand_per_iter: int = 1,
     threshold: float = 0.0,  # drop results scoring below this similarity
     exclude_ids: jax.Array | None = None,  # int32 [Q, P] drop from results
+    hash_bits: int = DEFAULT_HASH_BITS,
 ) -> SearchResult:
     """Two-pass wave search (reference ``GraphSearcher.search:222-243``).
 
@@ -311,6 +352,7 @@ def search(
         beam_width=beam_width,
         max_iters=max_iters,
         expand_per_iter=expand_per_iter,
+        hash_bits=hash_bits,
     )
 
     def filter_allowed(ids, scores):
