@@ -273,11 +273,45 @@ class OnDiskIndex:
         return graph, feats
 
 
+def sequential_renumbering(graph) -> "np.ndarray | None":
+    """Old->new ordinal map that compacts deleted holes (reference
+    ``AbstractGraphIndexWriter.sequentialRenumbering:146-159`` /
+    ``OrdinalMapper.MapMapper``).  Returns None when there are no holes."""
+    deleted = np.asarray(graph.deleted)
+    n = int(graph.num_nodes)
+    live = ~deleted[:n]
+    if live.all():
+        return None
+    mapper = np.full(deleted.shape[0], -1, np.int32)
+    mapper[:n][live] = np.arange(int(live.sum()), dtype=np.int32)
+    return mapper
+
+
+def _remap_layer(neighbors, scores, counts, mapper, row_select):
+    """Gather live rows and remap their edge ids through ``mapper``."""
+    nbrs = neighbors[row_select]
+    sc = scores[row_select]
+    cnt = counts[row_select]
+    remapped = np.where(nbrs >= 0, mapper[np.maximum(nbrs, 0)], -1)
+    # dropped (deleted) neighbors lose their slot; compact each row
+    out_n = np.full_like(remapped, -1)
+    out_s = np.full_like(sc, -np.inf)
+    out_c = np.zeros_like(cnt)
+    for i in range(remapped.shape[0]):
+        keep = remapped[i] >= 0
+        k = int(keep.sum())
+        out_n[i, :k] = remapped[i][keep]
+        out_s[i, :k] = sc[i][keep]
+        out_c[i] = k
+    return out_n, out_s, out_c
+
+
 def write_index(
     path: str | os.PathLike,
     graph,
     features: dict[str, dict[str, np.ndarray]] | None = None,
     save_scores: bool = False,
+    renumber: bool = True,
     **meta,
 ) -> None:
     """Persist a :class:`GraphIndex` (+ feature arrays) to ``path``.
@@ -285,8 +319,18 @@ def write_index(
     ``features`` maps FeatureId -> {array name -> array}; e.g.
     ``{FeatureId.INLINE_VECTORS: {"vectors": base}}``.  Edge scores are
     dropped by default (the reference's on-disk graphs store only adjacency).
+
+    When the graph has deleted holes and ``renumber`` is True, ordinals are
+    compacted on save (reference ``sequentialRenumbering``): per-node feature
+    arrays whose first dimension equals the graph capacity (or num_nodes)
+    are re-gathered through the same mapper, and the mapper itself is stored
+    as array ``"ordinal_mapper"`` (old -> new, -1 for dropped).
     """
     features = features or {}
+    mapper = sequential_renumbering(graph) if renumber else None
+    if mapper is not None:
+        _write_index_renumbered(path, graph, features, save_scores, mapper, meta)
+        return
     with IndexFileWriter(path) as w:
         num_levels = graph.num_levels
         for l, layer in enumerate(graph.layers):
@@ -306,6 +350,72 @@ def write_index(
             entry_node=int(graph.entry_node),
             num_nodes=int(graph.num_nodes),
             features=list(features),
+            **meta,
+        )
+
+
+def _write_index_renumbered(path, graph, features, save_scores, mapper, meta):
+    """Save with hole-compacting ordinal remap (the OrdinalMapper path)."""
+    n = int(graph.num_nodes)
+    deleted = np.asarray(graph.deleted)
+    live_rows = np.where(~deleted[:n])[0]
+    n_new = len(live_rows)
+
+    with IndexFileWriter(path) as w:
+        # base layer
+        out_n, out_s, out_c = _remap_layer(
+            np.asarray(graph.base.neighbors),
+            np.asarray(graph.base.scores),
+            np.asarray(graph.base.counts),
+            mapper,
+            live_rows,
+        )
+        w.add_array("graph/L0/neighbors", out_n)
+        w.add_array("graph/L0/counts", out_c)
+        if save_scores:
+            w.add_array("graph/L0/scores", out_s.astype(np.float32))
+        num_levels = 1
+        for l in range(1, graph.num_levels):
+            ids_l = np.asarray(graph.level_node_ids[l - 1])
+            live_slots = np.where(mapper[ids_l] >= 0)[0]
+            if len(live_slots) == 0:
+                break
+            # remap slot-space adjacency to the compacted slot space
+            slot_map = np.full(len(ids_l), -1, np.int32)
+            slot_map[live_slots] = np.arange(len(live_slots), dtype=np.int32)
+            layer = graph.layers[l]
+            ln, ls, lc = _remap_layer(
+                np.asarray(layer.neighbors),
+                np.asarray(layer.scores),
+                np.asarray(layer.counts),
+                slot_map,
+                live_slots,
+            )
+            w.add_array(f"graph/L{num_levels}/neighbors", ln)
+            w.add_array(f"graph/L{num_levels}/counts", lc)
+            if save_scores:
+                w.add_array(f"graph/L{num_levels}/scores", ls.astype(np.float32))
+            w.add_array(
+                f"graph/L{num_levels}/node_ids", mapper[ids_l[live_slots]]
+            )
+            num_levels += 1
+
+        for fname, arrays in features.items():
+            for aname, arr in arrays.items():
+                arr = np.asarray(arr)
+                if arr.ndim >= 1 and arr.shape[0] in (n, deleted.shape[0]):
+                    arr = arr[live_rows]  # per-node payload follows the remap
+                w.add_array(f"feature/{fname}/{aname}", arr)
+        w.add_array("ordinal_mapper", mapper)
+
+        entry = int(graph.entry_node)
+        new_entry = int(mapper[entry]) if entry >= 0 and mapper[entry] >= 0 else 0
+        w.set_meta(
+            num_levels=num_levels,
+            entry_node=new_entry,
+            num_nodes=n_new,
+            features=list(features),
+            renumbered=True,
             **meta,
         )
 

@@ -19,6 +19,8 @@ from jvector_tpu.graph.score import (
     ExactScoreProvider,
     ADCScoreProvider,
     BQScoreProvider,
+    FusedADCScoreProvider,
+    build_fused_codes,
 )
 from jvector_tpu.graph.searcher import search, SearchResult
 from jvector_tpu.graph.builder import GraphIndexBuilder, build_graph
@@ -29,6 +31,8 @@ __all__ = [
     "ExactScoreProvider",
     "ADCScoreProvider",
     "BQScoreProvider",
+    "FusedADCScoreProvider",
+    "build_fused_codes",
     "search",
     "SearchResult",
     "GraphIndexBuilder",

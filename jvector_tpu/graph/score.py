@@ -207,6 +207,89 @@ class ADCScoreProvider:
         return flat_luts_scores.reshape(B, Ca, Cb)
 
 
+@partial(
+    _register,
+    data_fields=["codes", "fused_codes", "codebooks", "center"],
+    meta_fields=["sim"],
+)
+@dataclasses.dataclass(frozen=True)
+class FusedADCScoreProvider:
+    """Edge-fused ADC: each node's row stores its NEIGHBORS' PQ codes.
+
+    Reference: ``FusedPQ`` + ``FusedPQDecoder`` (``FusedPQ.java:146-161``,
+    ``FusedPQDecoder.java:79-111``) — the codes of all R neighbors are laid
+    out contiguously with the adjacency so one read scores a whole
+    expansion.  On TPU this turns the search loop's R-row-per-query code
+    gather into ONE row per query (``fused_codes[u]``), the same locality
+    win the reference gets from one disk read.
+
+    ``codes [N, M]`` remain for entry/hierarchy/rerank-k scoring.
+    """
+
+    codes: jax.Array  # [N, M] uint8
+    fused_codes: jax.Array  # [N, R, M] uint8, aligned with graph neighbors
+    codebooks: jax.Array  # [M, K, S]
+    center: jax.Array | None
+    sim: SimilarityFunction = SimilarityFunction.EUCLIDEAN
+
+    @property
+    def exact(self) -> bool:
+        return False
+
+    @property
+    def supports_fused(self) -> bool:
+        return True
+
+    def _plain(self) -> ADCScoreProvider:
+        return ADCScoreProvider(
+            codes=self.codes,
+            codebooks=self.codebooks,
+            center=self.center,
+            sim=self.sim,
+        )
+
+    def prepare(self, queries: jax.Array) -> jax.Array:
+        return self._plain().prepare(queries)
+
+    def score(self, luts: jax.Array, ids: jax.Array) -> jax.Array:
+        return self._plain().score(luts, ids)
+
+    def score_edges(self, luts: jax.Array, node_ids: jax.Array) -> jax.Array:
+        """Score ALL neighbors of ``node_ids [Q]`` -> ``[Q, R]``.
+
+        The fused gather: one contiguous row of R*M code bytes per query.
+        """
+        from jvector_tpu.ops.pallas.adc_kernel import adc_score_auto
+
+        codes = self.fused_codes[node_ids]  # [Q, R, M] — single-row gather
+        raw = adc_score_auto(luts, codes)
+        if self.sim == SimilarityFunction.COSINE:
+            c2 = jnp.sum(self.codebooks * self.codebooks, axis=-1)
+            mag = adc_score_auto(jnp.broadcast_to(c2[None], luts.shape), codes)
+            raw = raw / jnp.maximum(jnp.sqrt(mag), 1e-30)
+        return normalize_score(raw, self.sim)
+
+
+def build_fused_codes(
+    neighbors: jax.Array, codes: jax.Array, chunk: int = 65_536
+) -> jax.Array:
+    """Pack each node's neighbors' codes next to its adjacency row.
+
+    Reference: the FusedPQ write path packs neighbor codes inline per L0
+    record (``FusedPQ.writeInline``).  Padding slots get code 0 (their score
+    is masked by the -1 neighbor id at search time).
+    """
+    n, r = neighbors.shape
+    m = codes.shape[1]
+    out = jnp.zeros((n, r, m), jnp.uint8)
+    for start in range(0, n, chunk):
+        blk = neighbors[start : start + chunk]
+        safe = jnp.maximum(blk, 0)
+        gathered = jnp.where((blk >= 0)[..., None], codes[safe], 0)
+        out = jax.lax.dynamic_update_slice_in_dim(out, gathered, start, axis=0)
+    return out
+
+
 @partial(_register, data_fields=["codes", "center"], meta_fields=["dim"])
 @dataclasses.dataclass(frozen=True)
 class BQScoreProvider:

@@ -191,6 +191,9 @@ def search_layer(
         return has_unexpanded & (s.iters < max_iters)
 
     E = expand_per_iter
+    # fused edge-scoring: one contiguous codes row per expanded node
+    # (reference processNeighbors -> enableSimilarityToNeighbors fast path)
+    use_fused = E == 1 and getattr(provider, "supports_fused", False)
 
     def body(s: _BeamState) -> _BeamState:
         # pop the E best unexpanded slots per query (the heap pops)
@@ -211,13 +214,17 @@ def search_layer(
         valid = ((nbrs >= 0) & active[:, :, None].repeat(R, axis=2).reshape(
             s.ids.shape[0], -1
         ))
+        if use_fused:
+            edge_scores = provider.score_edges(qstate, safe_sel[:, 0])  # [Q, R]
+        else:
+            edge_scores = jnp.zeros(nbrs.shape, jnp.float32)
 
         # sort by hashed slot + dedup: keeps the bitset scatter-add exact
         # under hash collisions AND dedups shared neighbors across E pops.
         slots = _hash_slots(nbrs, hash_bits)
         key = jnp.where(valid, slots, n_slots)
-        key_sorted, nbrs_sorted = jax.lax.sort(
-            (key, nbrs), dimension=1, num_keys=1
+        key_sorted, nbrs_sorted, edge_sorted = jax.lax.sort(
+            (key, nbrs, edge_scores), dimension=1, num_keys=1
         )
         dup = jnp.concatenate(
             [
@@ -235,9 +242,12 @@ def search_layer(
         visited2 = _set_bits(s.visited, slots_sorted, fresh)
 
         safe_nbrs = jnp.where(fresh, nbrs, 0)
-        new_scores = jnp.where(
-            fresh, provider.score(qstate, safe_nbrs), NEG_INF
-        )
+        if use_fused:
+            new_scores = jnp.where(fresh, edge_sorted, NEG_INF)
+        else:
+            new_scores = jnp.where(
+                fresh, provider.score(qstate, safe_nbrs), NEG_INF
+            )
         new_ids = jnp.where(fresh, nbrs, -1)
 
         ids3, scores3, expanded3 = _merge_beam(
