@@ -71,11 +71,27 @@ def main() -> None:
     jax.block_until_ready(graph.base.neighbors)
     build_s = time.time() - t0
 
-    # ---- PQ first pass + exact f32 rerank (the SIFT-1M reference config) --
+    # ---- PQ first pass + exact f32 rerank (the SIFT-1M reference config),
+    # with the edge-fused code layout (reference FusedPQ / Quicker-ADC) ----
+    from jvector_tpu.graph import FusedADCScoreProvider, build_fused_codes
+
     t0 = time.time()
     pq = ProductQuantization.compute(base, m=args.dim // 8, clusters=256)
-    pq_provider = pq.provider(pq.encode(base), "euclidean")
-    jax.block_until_ready(pq_provider.codes)
+    codes = pq.encode(base)
+    pad = graph.capacity - codes.shape[0]
+    if pad:
+        codes = jnp.concatenate(
+            [codes, jnp.zeros((pad, codes.shape[1]), jnp.uint8)]
+        )
+    fused = build_fused_codes(graph.base.neighbors, codes)
+    pq_provider = FusedADCScoreProvider(
+        codes=codes,
+        fused_codes=fused,
+        codebooks=pq.codebooks,
+        center=pq.center,
+        sim="euclidean",
+    )
+    jax.block_until_ready(fused)
     pq_s = time.time() - t0
 
     def run_pq(qs, beam):
