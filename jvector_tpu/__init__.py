@@ -42,7 +42,20 @@ def _enable_persistent_compile_cache() -> None:
 _enable_persistent_compile_cache()
 
 from jvector_tpu.ops.similarity import SimilarityFunction  # noqa: E402
+from jvector_tpu.graph import (  # noqa: E402
+    GraphConfig,
+    GraphIndex,
+    build_graph,
+    search,
+)
 
 __version__ = "0.1.0"
 
-__all__ = ["SimilarityFunction", "__version__"]
+__all__ = [
+    "SimilarityFunction",
+    "GraphConfig",
+    "GraphIndex",
+    "build_graph",
+    "search",
+    "__version__",
+]
