@@ -75,23 +75,28 @@ def main() -> None:
     # with the edge-fused code layout (reference FusedPQ / Quicker-ADC) ----
     from jvector_tpu.graph import FusedADCScoreProvider, build_fused_codes
 
-    t0 = time.time()
-    pq = ProductQuantization.compute(base, m=args.dim // 8, clusters=256)
-    codes = pq.encode(base)
-    pad = graph.capacity - codes.shape[0]
-    if pad:
-        codes = jnp.concatenate(
-            [codes, jnp.zeros((pad, codes.shape[1]), jnp.uint8)]
+    def make_pq_provider(m):
+        pq = ProductQuantization.compute(base, m=m, clusters=256)
+        codes = pq.encode(base)
+        pad = graph.capacity - codes.shape[0]
+        if pad:
+            codes = jnp.concatenate(
+                [codes, jnp.zeros((pad, codes.shape[1]), jnp.uint8)]
+            )
+        fused = build_fused_codes(graph.base.neighbors, codes)
+        prov = FusedADCScoreProvider(
+            codes=codes,
+            fused_codes=fused,
+            codebooks=pq.codebooks,
+            center=pq.center,
+            sim="euclidean",
         )
-    fused = build_fused_codes(graph.base.neighbors, codes)
-    pq_provider = FusedADCScoreProvider(
-        codes=codes,
-        fused_codes=fused,
-        codebooks=pq.codebooks,
-        center=pq.center,
-        sim="euclidean",
-    )
-    jax.block_until_ready(fused)
+        jax.block_until_ready(fused)
+        return prov
+
+    t0 = time.time()
+    pq_m = args.dim // 8  # reference default mFactor=8
+    pq_provider = make_pq_provider(pq_m)
     pq_s = time.time() - t0
 
     def run_pq(qs, beam):
@@ -136,6 +141,14 @@ def main() -> None:
     # operating point in-memory; PQ wins when the corpus exceeds HBM).
     exact_qps, exact_recall, exact_beam = operating_point(run_exact)
     pq_qps, pq_recall, pq_beam = operating_point(run_pq)
+    if pq_recall < RECALL_FLOOR and args.dim // 4 > pq_m:
+        # ADC precision limited — double the subspace count (mFactor 4),
+        # the reference grid's next compression rung
+        t0 = time.time()
+        pq_m = args.dim // 4
+        pq_provider = make_pq_provider(pq_m)
+        pq_s += time.time() - t0
+        pq_qps, pq_recall, pq_beam = operating_point(run_pq)
 
     candidates = [
         ("exact_f32", exact_qps, exact_recall, exact_beam),
@@ -160,6 +173,7 @@ def main() -> None:
                 "exact_recall": round(float(exact_recall), 4),
                 "pq_qps": round(pq_qps, 1),
                 "pq_recall": round(float(pq_recall), 4),
+                "pq_m": pq_m,
                 "device": str(dev),
             }
         )

@@ -30,6 +30,7 @@ class GridConfig:
     ef_construction: list[int] = dataclasses.field(default_factory=lambda: [100])
     neighbor_overflow: list[float] = dataclasses.field(default_factory=lambda: [1.2])
     add_hierarchy: list[bool] = dataclasses.field(default_factory=lambda: [True])
+    refine_final_graph: list[bool] = dataclasses.field(default_factory=lambda: [False])
     compression: list[dict | None] = dataclasses.field(
         default_factory=lambda: [None]
     )  # e.g. {"type": "PQ", "mFactor": 8, "k": 256, "anisotropicThreshold": -1.0}
@@ -56,6 +57,7 @@ class GridConfig:
                 float(str(x).rstrip("f")) for x in c.get("neighborOverflow", [1.2])
             ],
             add_hierarchy=[bool(x) for x in c.get("addHierarchy", [True])],
+            refine_final_graph=[bool(x) for x in c.get("refineFinalGraph", [False])],
             compression=comp,
             reranking=[str(x) for x in c.get("reranking", ["FP32"])],
             top_k_overquery=tko,
@@ -72,8 +74,9 @@ class Grid:
 
     # -- internals -----------------------------------------------------------
 
-    def _build(self, out_degree, efc, overflow, hierarchy):
+    def _build(self, out_degree, efc, overflow, hierarchy, refine=False):
         from jvector_tpu.graph import GraphConfig, build_graph
+        from jvector_tpu.graph.builder import refine_graph
 
         cfg = GraphConfig(
             max_degree=out_degree,
@@ -85,6 +88,12 @@ class Grid:
         graph, provider = build_graph(
             self.dataset.base, self.dataset.similarity, cfg
         )
+        if refine:
+            import jax.numpy as jnp
+
+            graph = refine_graph(
+                graph, provider, jnp.asarray(self.dataset.base), cfg
+            )
         import jax
 
         jax.block_until_ready(graph.base.neighbors)
@@ -146,15 +155,16 @@ class Grid:
         ds = self.dataset
         queries = jnp.asarray(ds.queries)
         cfg = self.config
-        for od, efc, ov, hier, comp, rr in itertools.product(
+        for od, efc, ov, hier, refine, comp, rr in itertools.product(
             cfg.out_degree,
             cfg.ef_construction,
             cfg.neighbor_overflow,
             cfg.add_hierarchy,
+            cfg.refine_final_graph,
             cfg.compression,
             cfg.reranking,
         ):
-            graph, exact_provider, build_s = self._build(od, efc, ov, hier)
+            graph, exact_provider, build_s = self._build(od, efc, ov, hier, refine)
             first_pass, ctype, quant_s = self._compression_provider(
                 exact_provider, comp
             )
@@ -202,6 +212,7 @@ class Grid:
                         "efConstruction": efc,
                         "neighborOverflow": ov,
                         "addHierarchy": hier,
+                        "refineFinalGraph": refine,
                         "compression": ctype or "NONE",
                         "reranking": rr if comp is not None else "NONE",
                         "topK": top_k,
