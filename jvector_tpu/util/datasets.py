@@ -131,6 +131,61 @@ def load_siftsmall(directory: str | None = None) -> DataSet | None:
     )
 
 
+def load_hdf5(path: str | os.PathLike, name: str | None = None) -> DataSet:
+    """Load an ann-benchmarks-format HDF5 dataset.
+
+    Reference: the harness's HDF5 loader (jhdf-based ``DataSetLoader``).
+    Layout: datasets ``train`` [N, D], ``test`` [Q, D], ``neighbors`` [Q, K],
+    attr ``distance`` in {euclidean, angular/cosine, dot}.
+    """
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        base = np.asarray(f["train"], np.float32)
+        queries = np.asarray(f["test"], np.float32)
+        gt = np.asarray(f["neighbors"], np.int32)
+        dist = str(f.attrs.get("distance", "euclidean")).lower()
+    sim = {
+        "euclidean": SimilarityFunction.EUCLIDEAN,
+        "angular": SimilarityFunction.COSINE,
+        "cosine": SimilarityFunction.COSINE,
+        "dot": SimilarityFunction.DOT_PRODUCT,
+        "ip": SimilarityFunction.DOT_PRODUCT,
+    }.get(dist, SimilarityFunction.EUCLIDEAN)
+    return DataSet(
+        name=name or os.path.splitext(os.path.basename(str(path)))[0],
+        similarity=sim,
+        base=base,
+        queries=queries,
+        ground_truth=gt,
+    )
+
+
+def load_dataset(path_or_name: str) -> DataSet | None:
+    """Catalog-ish loader: HDF5 file, fvecs triple prefix, or None.
+
+    ``path_or_name`` may be an ``.hdf5`` file, or a prefix ``X`` such that
+    ``X_base.fvecs`` / ``X_query.fvecs`` / ``X_groundtruth.ivecs`` exist
+    (the TEXMEX convention the reference harness uses).
+    """
+    if str(path_or_name).endswith((".hdf5", ".h5")):
+        if os.path.exists(path_or_name):
+            return load_hdf5(path_or_name)
+        return None
+    base_p = f"{path_or_name}_base.fvecs"
+    if os.path.exists(base_p):
+        return DataSet(
+            name=os.path.basename(str(path_or_name)),
+            similarity=SimilarityFunction.EUCLIDEAN,
+            base=read_fvecs(base_p),
+            queries=read_fvecs(f"{path_or_name}_query.fvecs"),
+            ground_truth=read_ivecs(f"{path_or_name}_groundtruth.ivecs").astype(
+                np.int32
+            ),
+        )
+    return None
+
+
 def recall_at_k(result_ids: np.ndarray, ground_truth: np.ndarray, k: int) -> float:
     """Mean recall@k (reference: ``AccuracyMetrics`` recall)."""
     hits = 0
