@@ -113,7 +113,13 @@ def _merge_beam(
 
 @partial(
     jax.jit,
-    static_argnames=("beam_width", "max_iters", "expand_per_iter", "hash_bits"),
+    static_argnames=(
+        "beam_width",
+        "max_iters",
+        "expand_per_iter",
+        "hash_bits",
+        "unroll",
+    ),
 )
 def search_layer(
     graph_neighbors: jax.Array,  # int32 [N, R]
@@ -125,6 +131,7 @@ def search_layer(
     expand_per_iter: int = 1,
     visited_init: jax.Array | None = None,
     hash_bits: int = DEFAULT_HASH_BITS,
+    unroll: int = 1,
 ) -> _BeamState:
     """Run beam search to quiescence on one adjacency layer.
 
@@ -263,6 +270,16 @@ def search_layer(
             + jnp.sum(active, axis=1).astype(jnp.int32),
             iters=s.iters + 1,
         )
+
+    if unroll > 1:
+        # several pops per loop step: surplus steps after quiescence are
+        # harmless no-ops (nothing unexpanded -> active all False)
+        inner = body
+
+        def body(s: _BeamState) -> _BeamState:  # noqa: F811
+            for _ in range(unroll):
+                s = inner(s)
+            return s
 
     return jax.lax.while_loop(cond, body, state)
 
