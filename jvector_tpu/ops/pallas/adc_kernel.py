@@ -28,18 +28,33 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _adc_kernel(luts_ref, codes_ref, out_ref):
-    """One query block: luts [QB, M, K], codes [QB, C, M] -> out [QB, C]."""
+    """One query block: luts [QB, M, K], codes [QB, M, C] -> out [QB, C].
+
+    The subspace loop is a fori_loop with ref-level dynamic slices (NOT a
+    Python unroll: Mosaic allocates the one-hot scratch per unrolled step
+    and blows the scoped-VMEM budget for M >= 32).  Codes arrive transposed
+    to [QB, M, C] so the dynamic index lands on a sublane dimension (Mosaic
+    cannot dynamically slice the 128-lane minor dimension).
+    """
     qb, m_sub, k = luts_ref.shape
-    c = codes_ref.shape[1]
+    c = codes_ref.shape[2]
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (qb, c, k), 2)
 
-    acc = jnp.zeros((qb, c), jnp.float32)
-    for m in range(m_sub):  # static unroll; M is small (D / subspace)
-        code_m = codes_ref[:, :, m]  # [QB, C]
+    def body(m, acc):
+        code_m = codes_ref[:, pl.ds(m, 1), :][:, 0, :]  # [QB, C]
         onehot = (k_iota == code_m[:, :, None]).astype(jnp.float32)  # [QB, C, K]
-        lut_m = luts_ref[:, m, :]  # [QB, K]
-        acc = acc + jnp.sum(onehot * lut_m[:, None, :], axis=2)
-    out_ref[:] = acc
+        lut_m = luts_ref[:, pl.ds(m, 1), :][:, 0, :]  # [QB, K]
+        return acc + jnp.sum(onehot * lut_m[:, None, :], axis=2)
+
+    if m_sub <= 16:  # unroll fits the scoped-VMEM budget and runs ~1.8x faster
+        acc = jnp.zeros((qb, c), jnp.float32)
+        for m in range(m_sub):
+            acc = body(m, acc)
+        out_ref[:] = acc
+    else:
+        out_ref[:] = jax.lax.fori_loop(
+            0, m_sub, body, jnp.zeros((qb, c), jnp.float32)
+        )
 
 
 @functools.partial(
@@ -60,7 +75,7 @@ def adc_score_pallas(
     """
     q, m_sub, k = luts.shape
     c = codes.shape[1]
-    codes = codes.astype(jnp.int32)
+    codes = codes.astype(jnp.int32).transpose(0, 2, 1)  # [Q, M, C]
 
     qb = min(query_block, q)
     cb = min(cand_block, c)
@@ -71,11 +86,11 @@ def adc_score_pallas(
             [luts, jnp.zeros((pad_q, m_sub, k), luts.dtype)], axis=0
         )
         codes = jnp.concatenate(
-            [codes, jnp.zeros((pad_q, c, m_sub), codes.dtype)], axis=0
+            [codes, jnp.zeros((pad_q, m_sub, c), codes.dtype)], axis=0
         )
     if pad_c:
         codes = jnp.concatenate(
-            [codes, jnp.zeros((q + pad_q, pad_c, m_sub), codes.dtype)], axis=1
+            [codes, jnp.zeros((q + pad_q, m_sub, pad_c), codes.dtype)], axis=2
         )
     qp, cp = q + pad_q, c + pad_c
 
@@ -87,7 +102,7 @@ def adc_score_pallas(
                 (qb, m_sub, k), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (qb, cb, m_sub), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+                (qb, m_sub, cb), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec((qb, cb), lambda i, j: (i, j), memory_space=pltpu.VMEM),
