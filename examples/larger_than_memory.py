@@ -10,7 +10,7 @@ import jax.numpy as jnp
 
 from jvector_tpu.disk import FeatureId, load_index
 from jvector_tpu.disk.ltm import build_on_disk_ltm
-from jvector_tpu.graph import ExactScoreProvider, GraphConfig, search
+from jvector_tpu.graph import GraphConfig
 from jvector_tpu.util.datasets import recall_at_k, synthetic_dataset
 
 
@@ -26,16 +26,19 @@ def main(path="/tmp/ltm_intro.jvtpu"):
     )
     print(f"LTM build complete: {int(graph.num_nodes)} nodes on disk at {path}")
 
-    # serve: PQ working set in HBM, full vectors reloaded (or host-resident)
-    g2, feats = load_index(path).to_device()
-    reranker = ExactScoreProvider(
-        vectors=feats[FeatureId.INLINE_VECTORS]["vectors"], sim=ds.similarity
+    # serve: PQ working set in HBM; full vectors STAY ON HOST, memmapped
+    # straight off the index file — HBM never holds the big payload
+    from jvector_tpu.disk.host_tier import HostVectorStore, search_with_host_rerank
+
+    odi = load_index(path)
+    store = HostVectorStore.from_index_file(
+        odi.reader, f"feature/{FeatureId.INLINE_VECTORS}/vectors", ds.similarity
     )
-    res = search(
-        g2, pq_provider, jnp.asarray(ds.queries), top_k=10,
-        beam_width=150, rerank_k=150, reranker=reranker,
+    res = search_with_host_rerank(
+        graph, pq_provider, store, jnp.asarray(ds.queries),
+        top_k=10, beam_width=150,
     )
-    print("recall@10 =", recall_at_k(np.asarray(res.ids), ds.ground_truth, 10))
+    print("host-tier recall@10 =", recall_at_k(np.asarray(res.ids), ds.ground_truth, 10))
 
 
 if __name__ == "__main__":
