@@ -225,4 +225,12 @@ def add_nodes(
         ids = np.where(ids < n0 + k, ids, -1)
         wv = vectors[jnp.minimum(jnp.asarray(np.maximum(ids, 0)), need - 1)]
         graph = _insert_wave(graph, provider, jnp.asarray(ids), wv, config)
+
+    if graph.num_levels > 1 and config.add_hierarchy:
+        # refresh the (tiny) upper levels so new nodes participate in the
+        # descent; rebuilding them costs ~n/maxDegree inserts
+        graph = graph._replace(layers=graph.layers[:1], level_node_ids=())
+        graph = GraphIndexBuilder(config).build_hierarchy(
+            graph, provider.vectors[: n0 + k], provider.sim
+        )
     return graph, provider
