@@ -54,6 +54,9 @@ class _BeamState(NamedTuple):
     visited_count: jax.Array  # int32 [Q]
     expanded_count: jax.Array  # int32 [Q]
     iters: jax.Array  # int32 scalar
+    # consecutive iterations whose best new candidate stayed below the
+    # caller's threshold (ScoreTracker early-termination state)
+    stale: jax.Array = None  # int32 [Q] or None
 
 
 # The visited set is a per-query HASHED bitset of 2^hash_bits slots, not an
@@ -119,6 +122,8 @@ def _merge_beam(
         "expand_per_iter",
         "hash_bits",
         "unroll",
+        "stop_threshold",
+        "stop_patience",
     ),
 )
 def search_layer(
@@ -132,10 +137,19 @@ def search_layer(
     visited_init: jax.Array | None = None,
     hash_bits: int = DEFAULT_HASH_BITS,
     unroll: int = 1,
+    stop_threshold: float = 0.0,
+    stop_patience: int = 24,
 ) -> _BeamState:
     """Run beam search to quiescence on one adjacency layer.
 
     Returns the final beam (sorted desc); callers slice top-k / rerank.
+
+    ``stop_threshold > 0`` enables threshold-search early termination
+    (reference ``ScoreTracker``/VBase relaxed monotonicity,
+    ``ScoreTracker.java:27-90``): a query whose best freshly-scored
+    candidate has stayed below the threshold for ``stop_patience``
+    consecutive iterations is retired (its beam is frozen) — past the
+    query's neighborhood, scores only keep falling.
     """
     N, R = graph_neighbors.shape
     if entry_ids.ndim == 1:
@@ -191,6 +205,7 @@ def search_layer(
         visited_count=jnp.sum(entry_ids >= 0, axis=1).astype(jnp.int32),
         expanded_count=jnp.zeros((Q,), jnp.int32),
         iters=jnp.int32(0),
+        stale=jnp.zeros((Q,), jnp.int32) if stop_threshold > 0 else None,
     )
 
     def cond(s: _BeamState):
@@ -260,6 +275,13 @@ def search_layer(
         ids3, scores3, expanded3 = _merge_beam(
             s.ids, s.scores, expanded, new_ids, new_scores
         )
+        stale2 = s.stale
+        if stop_threshold > 0:
+            best_new = jnp.max(new_scores, axis=1)
+            stale2 = jnp.where(best_new >= stop_threshold, 0, s.stale + 1)
+            # retire queries stuck below the threshold: freeze their beams
+            retire = stale2 >= stop_patience
+            expanded3 = expanded3 | retire[:, None]
         return _BeamState(
             ids=ids3,
             scores=scores3,
@@ -269,6 +291,7 @@ def search_layer(
             expanded_count=s.expanded_count
             + jnp.sum(active, axis=1).astype(jnp.int32),
             iters=s.iters + 1,
+            stale=stale2,
         )
 
     if unroll > 1:
@@ -380,6 +403,7 @@ def search(
         max_iters=max_iters,
         expand_per_iter=expand_per_iter,
         hash_bits=hash_bits,
+        stop_threshold=threshold,
     )
 
     def filter_allowed(ids, scores):
