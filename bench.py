@@ -2,11 +2,20 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-The reference (datastax/jvector) publishes no absolute SIFT-1M QPS numbers
-(BASELINE.md: ``published`` is empty).  ``vs_baseline`` is computed against
-REFERENCE_QPS below — a representative figure for the reference's
-multi-core CPU throughput benchmark at recall 0.95 on SIFT-1M-class data
-(order of 10k QPS on a large x86 box, per its ThroughputBenchmark design).
+Baseline denominator: the reference publishes no SIFT-1M QPS table, but its
+own repo records one absolute multi-core CPU measurement
+(``docs/release notes/4.0.0-RC.9/671.testing.md:37-49``):
+cohere-english-v3-100k (1024-d), M=32/ef=100/NVQ, unspecified dev box —
+44,155 QPS @ recall@10 0.92 (overquery 2) and 28,832 QPS @ 0.98 (overquery
+5), i.e. ~35k QPS interpolated at the 0.95 floor, with 515→951 avg visited.
+Scaling that measurement to SIFT-1M-class search (10x nodes: ~1.25x beam
+path by ln(N) growth; 128-d f32 rows are ~8x smaller than 1024-d NVQ rows,
+roughly offsetting per-visit cost differences — net ~x0.4-0.6) grounds
+REFERENCE_QPS = 15_000 below.  No Java toolchain exists in this container,
+so the figure cannot be re-measured here; it is an anchored estimate, not a
+measurement, and is labeled as such in the JSON (``baseline_source``,
+``baseline_kind``) with the raw anchor numbers so a reader can re-derive or
+re-scale it.
 
 Zero-egress environment: the real SIFT-1M base vectors are not on disk, so
 the corpus is a synthetic SIFT-like clustered set (128-d) with exact ground
@@ -23,7 +32,13 @@ import time
 
 import numpy as np
 
-REFERENCE_QPS = 10_000.0  # documented assumption, see module docstring
+REFERENCE_QPS = 15_000.0  # anchored estimate, see module docstring
+BASELINE_SOURCE = (
+    "reference docs/release notes/4.0.0-RC.9/671.testing.md: measured "
+    "44155 QPS @ recall@10 0.92 / 28832 QPS @ 0.98 on cohere-english-v3-100k "
+    "(1024d, M=32, ef=100, NVQ, multi-core CPU box); ~35k QPS interpolated "
+    "at 0.95, scaled x0.43 for 100k->1M search-path growth"
+)
 RECALL_FLOOR = 0.95
 
 
@@ -164,6 +179,9 @@ def main() -> None:
                 "value": round(qps, 1),
                 "unit": "queries/s",
                 "vs_baseline": round(qps / REFERENCE_QPS, 3),
+                "baseline_qps": REFERENCE_QPS,
+                "baseline_kind": "anchored-estimate (no Java toolchain here)",
+                "baseline_source": BASELINE_SOURCE,
                 "recall": round(float(recall), 4),
                 "beam_width": beam,
                 "mode": mode,

@@ -168,8 +168,18 @@ class Grid:
             first_pass, ctype, quant_s = self._compression_provider(
                 exact_provider, comp
             )
+            # a reranker is meaningful even without first-pass compression
+            # (e.g. exact first pass + NVQ reranking); only an exact rerank
+            # of an already-exact first pass is redundant and skipped
+            rr_redundant = comp is None and rr.upper() in (
+                "FP32",
+                "F32",
+                "EXACT",
+                "NONE",
+                "OFF",
+            )
             reranker, rerank_quant_s = (
-                self._reranker(exact_provider, rr) if comp is not None else (None, 0.0)
+                (None, 0.0) if rr_redundant else self._reranker(exact_provider, rr)
             )
 
             for top_k, oqs in cfg.top_k_overquery.items():
@@ -214,7 +224,7 @@ class Grid:
                         "addHierarchy": hier,
                         "refineFinalGraph": refine,
                         "compression": ctype or "NONE",
-                        "reranking": rr if comp is not None else "NONE",
+                        "reranking": rr if reranker is not None else "NONE",
                         "topK": top_k,
                         "overquery": oq,
                         "recall": round(acc.recall, 4),

@@ -43,7 +43,9 @@ def _parse_vectors(text: str) -> np.ndarray:
         part = part.strip().lstrip("[").strip()
         if not part:
             continue
-        vecs.append(np.fromstring(part, sep=",", dtype=np.float32))
+        vecs.append(
+            np.array([float(x) for x in part.split(",") if x.strip()], np.float32)
+        )
     return np.stack(vecs) if vecs else np.zeros((0, 0), np.float32)
 
 

@@ -256,12 +256,16 @@ class OnDiskIndex:
                     jnp.asarray(np.asarray(r.read(f"graph/L{l}/node_ids")))
                 )
         n_cap = layers[0].neighbors.shape[0]
+        if r.has_array("graph/deleted"):
+            deleted = jnp.asarray(np.asarray(r.read("graph/deleted")))
+        else:
+            deleted = jnp.zeros((n_cap,), bool)
         graph = GraphIndex(
             layers=tuple(layers),
             level_node_ids=tuple(level_ids),
             entry_node=jnp.int32(self.meta["entry_node"]),
             num_nodes=jnp.int32(self.meta["num_nodes"]),
-            deleted=jnp.zeros((n_cap,), bool),
+            deleted=deleted,
         )
         feats = {}
         for name in self.features:
@@ -345,6 +349,11 @@ def write_index(
         for fname, arrays in features.items():
             for aname, arr in arrays.items():
                 w.add_array(f"feature/{fname}/{aname}", np.asarray(arr))
+        # renumber=False with holes: tombstones must survive the round-trip,
+        # or deleted-but-still-linked nodes reappear in results after reload
+        deleted = np.asarray(graph.deleted)
+        if deleted.any():
+            w.add_array("graph/deleted", deleted)
         w.set_meta(
             num_levels=num_levels,
             entry_node=int(graph.entry_node),

@@ -65,13 +65,19 @@ class HostVectorStore:
         order = jnp.argsort(-exact, axis=1)
         out_ids = jnp.take_along_axis(jnp.asarray(ids), order, axis=1)[:, :top_k]
         out_scores = jnp.take_along_axis(exact, order, axis=1)[:, :top_k]
+        # approx scores ride the SAME permutation so they correspond to the
+        # returned ids (the worstApproximateScoreInTopK contract that the
+        # multi-index rerank-floor merge depends on)
+        out_approx = jnp.take_along_axis(approx.scores[:, :k], order, axis=1)[
+            :, :top_k
+        ]
         return SearchResult(
             ids=out_ids,
             scores=out_scores,
             visited_count=approx.visited_count,
             expanded_count=approx.expanded_count,
             reranked_count=jnp.sum(jnp.asarray(ids >= 0), axis=1).astype(jnp.int32),
-            approx_scores=approx.scores[:, : out_ids.shape[1]],
+            approx_scores=out_approx,
         )
 
 

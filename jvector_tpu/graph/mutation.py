@@ -73,11 +73,17 @@ def _splice_chunk(
         NEG_INF,
     )
 
-    cand_ids = jnp.concatenate([live_ids, two_hop], axis=1)
-    cand_scores = jnp.concatenate([live_scores, th_scores], axis=1)
+    # Truncate only the 2-hop flood by score; the node's EXISTING live edges
+    # always ride into the prune pool.  Low-scoring long-range edges would
+    # otherwise be evicted by the wave of near 2-hop candidates and the
+    # spliced graph disconnects — the same invariant compaction enforces by
+    # exempting same-source edges from its score truncation.
+    th_ids, th_sorted = dedup_sorted_desc(two_hop, th_scores)
+    th_ids = th_ids[:, : config.ef_construction]
+    th_sorted = th_sorted[:, : config.ef_construction]
+    cand_ids = jnp.concatenate([live_ids, th_ids], axis=1)
+    cand_scores = jnp.concatenate([live_scores, th_sorted], axis=1)
     cand_ids, cand_scores = dedup_sorted_desc(cand_ids, cand_scores)
-    cand_ids = cand_ids[:, : config.ef_construction]
-    cand_scores = cand_scores[:, : config.ef_construction]
 
     safe_cand = jnp.maximum(cand_ids, 0)
     simmat = provider.pairwise(safe_cand, safe_cand)
@@ -200,13 +206,12 @@ def add_nodes(
             layers=(layer,) + graph.layers[1:],
             deleted=jnp.concatenate([graph.deleted, jnp.zeros((pad,), bool)]),
         )
-    else:
-        # _insert_wave donates its graph argument; the caller keeps their
-        # pre-insert graph, so give the wave loop its own buffers.
-        graph = graph._replace(
-            layers=(jax.tree.map(lambda x: x.copy(), graph.base),)
-            + graph.layers[1:]
-        )
+    # _insert_wave donates its ENTIRE graph pytree (donate_argnums=(0,)):
+    # every leaf the caller may still reference — base layer, upper levels,
+    # deleted mask, entry/num_nodes scalars — must be copied, or on TPU the
+    # caller's buffers are invalidated by the first wave (CPU tests cannot
+    # catch this: donation is a no-op there).
+    graph = jax.tree.map(lambda x: x.copy(), graph)
 
     vectors = jnp.concatenate([provider.vectors[:n0], new_vectors], axis=0)
     # keep provider capacity aligned with graph capacity

@@ -72,12 +72,17 @@ def sharded_search(
     )
 
 
-@partial(jax.jit, static_argnames=("k", "sim", "axis_name"))
-def _bf_shard_map_impl(queries, base_shard, k, sim, axis_name):
+@partial(jax.jit, static_argnames=("k", "sim", "axis_name", "n_total"))
+def _bf_shard_map_impl(queries, base_shard, k, sim, axis_name, n_total):
     scores = pairwise_scores(queries, base_shard, sim)  # [Q, N/n]
-    s, i = jax.lax.top_k(scores, k)
+    # mask pad rows by GLOBAL id before the per-shard top_k: pad rows are
+    # zeros, whose score is arbitrary (for DOT_PRODUCT a huge pad value would
+    # even score best), so magnitude games cannot be trusted to bury them
     shard = jax.lax.axis_index(axis_name)
     n_local = base_shard.shape[0]
+    gids = shard * n_local + jnp.arange(n_local, dtype=jnp.int32)
+    scores = jnp.where(gids[None, :] < n_total, scores, -jnp.inf)
+    s, i = jax.lax.top_k(scores, k)
     i = i + shard * n_local
     # all-gather per-shard top-k, merge
     s_all = jax.lax.all_gather(s, axis_name, axis=1)  # [Q, n, k]
@@ -109,17 +114,17 @@ def sharded_brute_force(
     pad = (-n) % n_dev
     if pad:
         base = jnp.concatenate(
-            [base, jnp.full((pad, base.shape[1]), 1e30, base.dtype)], axis=0
+            [base, jnp.zeros((pad, base.shape[1]), base.dtype)], axis=0
         )
 
     fn = jax.shard_map(
-        partial(_bf_shard_map_impl, k=k, sim=sim, axis_name=axis_name),
+        partial(_bf_shard_map_impl, k=k, sim=sim, axis_name=axis_name, n_total=n),
         mesh=mesh,
         in_specs=(P(), P(axis_name, None)),
         out_specs=(P(), P()),
         check_vma=False,
     )
     scores, ids = fn(queries, base)
-    # drop padded hits (score of pad rows is terrible; top_k keeps real ones
-    # unless k > n)
+    # pad rows were masked to -inf inside the shard body; only k > n can
+    # surface them, and those slots report -1
     return scores, jnp.where(ids < n, ids, -1)

@@ -115,7 +115,7 @@ def read_fvecs_native(path: str, max_vectors: int | None = None) -> "np.ndarray 
     dim = ctypes.c_int32(0)
     count = ctypes.c_int64(0)
     rc = lib.jvtpu_fvecs_info(path.encode(), ctypes.byref(dim), ctypes.byref(count))
-    if rc == -int(np.uint8(0)) - 74 or rc == -74:  # -EBADMSG
+    if rc == -74:  # -EBADMSG
         raise ValueError(f"corrupt fvecs file {path}")
     if rc == -22:  # -EINVAL
         raise ValueError(f"bad fvecs dim in {path}")
