@@ -7,7 +7,7 @@ TPU-native redesign of the reference's L4 (``jv/graph/``):
   (``neighbors[int32 N, R]``, ``scores[f32 N, R]``, ``counts[int32 N]``).
 - ``GraphSearcher`` (pop-one-expand-one beam with heaps)
   -> :func:`search`, a jitted query-wave beam search over a fixed-width beam
-  with a packed visited bitset.
+  with exact compare-based visited dedup (beam + expansion-history ring).
 - ``GraphIndexBuilder`` (concurrent inserts + insertionsInProgress snapshots)
   -> :class:`GraphIndexBuilder` wave insertion: a wave of W nodes is
   beam-searched, pruned and linked in one batched step; wave members see each
@@ -20,9 +20,11 @@ from jvector_tpu.graph.score import (
     ADCScoreProvider,
     BQScoreProvider,
     FusedADCScoreProvider,
+    LUT16ScoreProvider,
     build_fused_codes,
+    build_fused_codes_lut16,
 )
-from jvector_tpu.graph.searcher import search, SearchResult
+from jvector_tpu.graph.searcher import search, resume, SearchResult, BeamState
 from jvector_tpu.graph.builder import GraphIndexBuilder, build_graph
 
 __all__ = [
@@ -32,9 +34,13 @@ __all__ = [
     "ADCScoreProvider",
     "BQScoreProvider",
     "FusedADCScoreProvider",
+    "LUT16ScoreProvider",
     "build_fused_codes",
+    "build_fused_codes_lut16",
     "search",
+    "resume",
     "SearchResult",
+    "BeamState",
     "GraphIndexBuilder",
     "build_graph",
 ]

@@ -83,7 +83,6 @@ def _insert_wave(
         beam_width=ef,
         max_iters=config.max_build_iters,
         expand_per_iter=config.build_expand,
-        hash_bits=config.hash_bits,
     )
 
     # -- 2. intra-wave candidates (replaces insertionsInProgress) --------
@@ -396,7 +395,6 @@ def _refine_chunk(
         entries,
         beam_width=config.ef_construction,
         max_iters=config.max_build_iters,
-        hash_bits=config.hash_bits,
     )
 
     old_ids = jnp.where(

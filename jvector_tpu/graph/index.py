@@ -57,9 +57,6 @@ class GraphConfig:
     # Beam expansions per iteration during build searches (trades a few
     # extra scored edges for proportionally fewer sequential loop steps).
     build_expand: int = 1
-    # Hashed-visited-set size (2^hash_bits slots) for build-time searches.
-    # ~16x the expected visited count keeps false positives under ~6%.
-    hash_bits: int = 16
 
     @property
     def overflow_degree(self) -> int:

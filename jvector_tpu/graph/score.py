@@ -255,13 +255,16 @@ class FusedADCScoreProvider:
         return self._plain().score(luts, ids)
 
     def score_edges(self, luts: jax.Array, node_ids: jax.Array) -> jax.Array:
-        """Score ALL neighbors of ``node_ids [Q]`` -> ``[Q, R]``.
+        """Score ALL neighbors of ``node_ids [Q]`` or ``[Q, E]`` -> ``[Q, E*R]``.
 
-        The fused gather: one contiguous row of R*M code bytes per query.
+        The fused gather: one contiguous row of R*M code bytes per expansion.
         """
         from jvector_tpu.ops.pallas.adc_kernel import adc_score_auto
 
-        codes = self.fused_codes[node_ids]  # [Q, R, M] — single-row gather
+        q = node_ids.shape[0]
+        codes = self.fused_codes[node_ids]  # [Q, (E,) R, M] — row gathers
+        if codes.ndim == 4:
+            codes = codes.reshape(q, -1, codes.shape[-1])  # [Q, E*R, M]
         raw = adc_score_auto(luts, codes)
         if self.sim == SimilarityFunction.COSINE:
             c2 = jnp.sum(self.codebooks * self.codebooks, axis=-1)
@@ -286,6 +289,160 @@ def build_fused_codes(
         blk = neighbors[start : start + chunk]
         safe = jnp.maximum(blk, 0)
         gathered = jnp.where((blk >= 0)[..., None], codes[safe], 0)
+        out = jax.lax.dynamic_update_slice_in_dim(out, gathered, start, axis=0)
+    return out
+
+
+@partial(
+    _register,
+    data_fields=["codes_packed", "fused_packed", "codebooks", "center"],
+    meta_fields=["sim"],
+)
+@dataclasses.dataclass(frozen=True)
+class LUT16ScoreProvider:
+    """Edge-fused 4-bit PQ scoring (the TPU Quicker-ADC analog).
+
+    Reference relationship: the reference's fused path (``FusedPQ`` +
+    ``FusedPQDecoder``) pins K=256 because AVX shuffles gather 8-bit LUTs
+    well; on TPU there is no VPU gather, so the LUT lookup is a one-hot
+    select whose cost scales with K.  K=16 with twice the subspaces keeps
+    the same bits/vector while making the select 16x cheaper and the LUT
+    16x smaller — the same trade SCANN's SIMD LUT16 makes on CPU.
+
+    Layouts (see :mod:`jvector_tpu.ops.pallas.adc16_kernel`):
+
+    - ``codes_packed  [N, MP]``    uint8 (MP = M/2 packed bytes)
+    - ``fused_packed  [N, MP, R]`` uint8 — neighbor codes transposed so the
+      kernel's per-subspace dynamic slice lands on a sublane dim.
+    """
+
+    codes_packed: jax.Array  # [N, MP] uint8
+    fused_packed: jax.Array  # [N, MP, R] uint8
+    codebooks: jax.Array  # [M, 16, S]
+    center: jax.Array | None
+    sim: SimilarityFunction = SimilarityFunction.EUCLIDEAN
+
+    @property
+    def exact(self) -> bool:
+        return False
+
+    @property
+    def supports_fused(self) -> bool:
+        return True
+
+    @property
+    def padded_dim(self) -> int:
+        m, _, s = self.codebooks.shape
+        return m * s
+
+    def prepare(self, queries: jax.Array) -> jax.Array:
+        """LUTs in paired kernel layout ``[Q, MP, 32]``."""
+        from jvector_tpu.ops.pallas.adc16_kernel import lut_pairs
+
+        d = queries.shape[-1]
+        dp = self.padded_dim
+        if d < dp:
+            queries = jnp.concatenate(
+                [queries, jnp.zeros(queries.shape[:-1] + (dp - d,), queries.dtype)],
+                axis=-1,
+            )
+        if self.center is not None:
+            queries = queries - self.center
+        if self.sim == SimilarityFunction.COSINE:
+            n = jnp.sqrt(jnp.sum(queries * queries, axis=-1, keepdims=True))
+            queries = queries / jnp.maximum(n, 1e-30)
+            luts = build_partial_sums(
+                queries, self.codebooks, SimilarityFunction.DOT_PRODUCT
+            )
+        else:
+            luts = build_partial_sums(queries, self.codebooks, self.sim)
+        return lut_pairs(luts)
+
+    def _norm(self, raw: jax.Array, codes_t: jax.Array, luts: jax.Array) -> jax.Array:
+        if self.sim == SimilarityFunction.COSINE:
+            from jvector_tpu.ops.pallas.adc16_kernel import adc16_auto, lut_pairs
+
+            c2 = lut_pairs(
+                jnp.sum(self.codebooks * self.codebooks, axis=-1)[None]
+            )  # [1, MP, 32]
+            mag = adc16_auto(jnp.broadcast_to(c2, luts.shape), codes_t)
+            raw = raw / jnp.maximum(jnp.sqrt(mag), 1e-30)
+        return normalize_score(raw, self.sim)
+
+    def score(self, luts: jax.Array, ids: jax.Array) -> jax.Array:
+        """ids ``[Q, C]`` -> scores ``[Q, C]`` (entry/hierarchy/rerank pool)."""
+        from jvector_tpu.ops.pallas.adc16_kernel import adc16_auto
+
+        codes = self.codes_packed[ids]  # [Q, C, MP]
+        codes_t = codes.transpose(0, 2, 1)  # [Q, MP, C]
+        raw = adc16_auto(luts, codes_t)
+        return self._norm(raw, codes_t, luts)
+
+    def score_edges(self, luts: jax.Array, node_ids: jax.Array) -> jax.Array:
+        """``[Q]`` or ``[Q, E]`` expanded nodes -> neighbor scores ``[Q, E*R]``."""
+        from jvector_tpu.ops.pallas.adc16_kernel import adc16_auto
+
+        q = node_ids.shape[0]
+        rows = self.fused_packed[node_ids]  # [Q, (E,) MP, R]
+        if rows.ndim == 4:
+            rows = rows.transpose(0, 2, 1, 3).reshape(q, rows.shape[2], -1)
+        raw = adc16_auto(luts, rows)  # [Q, E*R]
+        return self._norm(raw, rows, luts)
+
+    # -- build-time surface (decode origin, ADC against candidates) --------
+
+    def decode_centered(self, ids: jax.Array) -> jax.Array:
+        from jvector_tpu.ops.pallas.adc16_kernel import unpack_nibbles
+
+        codes = unpack_nibbles(self.codes_packed[ids]).astype(jnp.int32)
+        m = self.codebooks.shape[0]
+        parts = [self.codebooks[i][codes[..., i]] for i in range(m)]
+        return jnp.concatenate(parts, axis=-1)
+
+    def score_nodes(self, node_ids: jax.Array, ids: jax.Array) -> jax.Array:
+        origins = self.decode_centered(node_ids)
+        if self.sim == SimilarityFunction.COSINE:
+            n = jnp.sqrt(jnp.sum(origins * origins, axis=-1, keepdims=True))
+            origins = origins / jnp.maximum(n, 1e-30)
+        from jvector_tpu.ops.pallas.adc16_kernel import lut_pairs
+
+        sim = (
+            SimilarityFunction.DOT_PRODUCT
+            if self.sim == SimilarityFunction.COSINE
+            else self.sim
+        )
+        luts = lut_pairs(build_partial_sums(origins, self.codebooks, sim))
+        return self.score(luts, ids)
+
+    def pairwise(self, ids_a: jax.Array, ids_b: jax.Array) -> jax.Array:
+        B, Ca = ids_a.shape
+        Cb = ids_b.shape[1]
+        flat = self.score_nodes(
+            ids_a.reshape(-1),
+            jnp.broadcast_to(ids_b[:, None], (B, Ca, Cb)).reshape(B * Ca, Cb),
+        )
+        return flat.reshape(B, Ca, Cb)
+
+
+def build_fused_codes_lut16(
+    neighbors: jax.Array, codes_packed: jax.Array, chunk: int = 65_536
+) -> jax.Array:
+    """Pack neighbors' packed-4-bit codes next to the adjacency, transposed.
+
+    Returns ``[N, MP, R]`` uint8: ``out[n, j, r] = codes_packed[nbr[n,r], j]``
+    (code 0 for -1 padding; masked by the neighbor id at search time).
+    """
+    n, r = neighbors.shape
+    mp = codes_packed.shape[1]
+    out = jnp.zeros((n, mp, r), jnp.uint8)
+    for start in range(0, n, chunk):
+        blk = neighbors[start : start + chunk]
+        safe = jnp.maximum(blk, 0)
+        gathered = jnp.where(
+            (blk >= 0)[:, None, :],
+            codes_packed[safe].transpose(0, 2, 1),  # [B, MP, R]
+            0,
+        )
         out = jax.lax.dynamic_update_slice_in_dim(out, gathered, start, axis=0)
     return out
 

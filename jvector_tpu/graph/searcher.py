@@ -7,15 +7,26 @@ whole *wave* of Q queries advances in lock-step inside one jitted
 ``lax.while_loop``:
 
 - the candidate heap + result heap pair becomes one fixed-width beam of
-  ``ef`` (score-sorted ids + an ``expanded`` flag per slot);
-- the visited ``IntHashSet`` becomes a packed bitset ``uint32[Q, N/32]``;
-  bits are set with scatter-add, exact because ids within one expansion are
-  unique (graph row invariant);
+  ``beam_width`` slots (score-sorted ids + an ``expanded`` flag per slot);
+- the visited ``IntHashSet`` becomes **exact compare-based dedup**: a new
+  candidate is fresh iff it matches nothing in the current beam, nothing in
+  the expansion history ring (ids popped so far), and no earlier candidate
+  of the same step.  All three are dense VPU equality reductions — no
+  gather, no scatter, no hashing (an earlier revision used a hashed bitset;
+  the scatter + slot-sort it required cost more per iteration than these
+  compares and produced ~1.6% false-positive skips);
+- ``expand_per_iter`` (E) pops the E best unexpanded slots per step —
+  fewer, fatter sequential steps for the same visit budget;
 - the stop rule "best remaining candidate is worse than the worst result"
   becomes "no unexpanded slot survives in the beam", per query, with
   finished queries masked out while the wave drains;
 - reranking (``GraphSearcher.reranking:471-507``) reruns exact scores over
   the top ``rerank_k`` beam slots in one batched gather+matmul.
+
+The final :class:`BeamState` is returned to callers and can seed a
+continuation (`resume`), matching ``GraphSearcher.resume():509-547``'s
+evicted-state semantics: the beam + history carry over, so pulling the next
+page costs only the extra expansions.
 
 Counters mirror ``SearchResult``: visited/expanded/reranked counts.
 """
@@ -29,8 +40,6 @@ import jax
 import jax.numpy as jnp
 
 from jvector_tpu.graph.index import NEG_INF, GraphIndex
-
-_WORD_BITS = 32
 
 
 class SearchResult(NamedTuple):
@@ -46,11 +55,13 @@ class SearchResult(NamedTuple):
     approx_scores: jax.Array = None  # float32 [Q, k] or None
 
 
-class _BeamState(NamedTuple):
+class BeamState(NamedTuple):
+    """Loop state; also the resumable continuation (reference evicted state)."""
+
     ids: jax.Array  # int32 [Q, L]
     scores: jax.Array  # float32 [Q, L]
     expanded: jax.Array  # bool [Q, L]
-    visited: jax.Array  # uint32 [Q, W] packed HASHED bitset
+    history: jax.Array  # int32 [Q, T] ring of expanded ids (-1 padded)
     visited_count: jax.Array  # int32 [Q]
     expanded_count: jax.Array  # int32 [Q]
     iters: jax.Array  # int32 scalar
@@ -59,46 +70,36 @@ class _BeamState(NamedTuple):
     stale: jax.Array = None  # int32 [Q] or None
 
 
-# The visited set is a per-query HASHED bitset of 2^hash_bits slots, not an
-# exact N-bit set.  Rationale (from profiling at N=1M, Q=1024): an exact
-# bitset is a 128 MB while_loop carry, and XLA's scatter re-materializes +
-# layout-copies it every iteration (~2.6 ms/iter, 75% of loop cost).  The
-# hashed set is N-independent (32 KB/query at the default 18 bits), which
-# also makes 100M-node searches feasible.  Hash collisions make a fresh node
-# look visited (it gets skipped) — the same accepted trade as GPU ANN hash
-# tables; with ~4k visited and 2^18 slots the false-positive rate is ~1.6%.
-DEFAULT_HASH_BITS = 18
-_HASH_MULT = jnp.uint32(0x9E3779B1)  # Knuth multiplicative hash
+def _history_len(expand_per_iter: int, max_iters: int, requested: int | None) -> int:
+    """Ring size: covers the expansion budget, lane-aligned, multiple of E."""
+    if requested is not None:
+        t = requested
+    else:
+        t = min(expand_per_iter * max_iters, 512)
+    step = 128
+    while step % expand_per_iter:  # keep T a multiple of E so ring writes
+        step += 128  # never straddle the wrap point
+    return max(((t + step - 1) // step) * step, step)
 
 
-def _hash_slots(ids: jax.Array, hash_bits: int) -> jax.Array:
-    """Node id -> hashed bit slot in [0, 2^hash_bits)."""
-    h = ids.astype(jnp.uint32) * _HASH_MULT
-    return (h >> (32 - hash_bits)).astype(jnp.int32)
+def _dedup_new(new_ids: jax.Array, beam_ids: jax.Array, history: jax.Array):
+    """Fresh mask for ``new_ids [Q, C]`` vs beam ``[Q, L]``, history ``[Q, T]``
+    and earlier same-step candidates.  Pure dense equality reductions."""
+    dup_beam = jnp.any(
+        new_ids[:, :, None] == beam_ids[:, None, :], axis=2
+    )  # [Q, C]
+    dup_hist = jnp.any(new_ids[:, :, None] == history[:, None, :], axis=2)
+    c = new_ids.shape[1]
+    eq = new_ids[:, :, None] == new_ids[:, None, :]  # [Q, C, C]
+    earlier = (
+        jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+        < jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    )[None]
+    dup_self = jnp.any(eq & earlier, axis=2)
+    return ~(dup_beam | dup_hist | dup_self)
 
 
-def _gather_bits(visited: jax.Array, slots: jax.Array) -> jax.Array:
-    """visited ``[Q, W]``, slots ``[Q, R]`` -> {0,1} int32 ``[Q, R]``."""
-    word = slots >> 5
-    bit = slots & (_WORD_BITS - 1)
-    w = jnp.take_along_axis(visited, word, axis=1)
-    return ((w >> bit.astype(jnp.uint32)) & 1).astype(jnp.int32)
-
-
-def _set_bits(visited: jax.Array, slots: jax.Array, mask: jax.Array) -> jax.Array:
-    """Set bit ``slots`` where ``mask``; exact via scatter-add because the
-    caller guarantees slots are unique within a row where mask is set."""
-    word = slots >> 5
-    add = jnp.where(
-        mask, jnp.uint32(1) << (slots & (_WORD_BITS - 1)).astype(jnp.uint32), 0
-    )
-    q = jnp.broadcast_to(jnp.arange(visited.shape[0])[:, None], slots.shape)
-    return visited.at[q, word].add(add.astype(visited.dtype), mode="drop")
-
-
-def _merge_beam(
-    beam_ids, beam_scores, beam_expanded, new_ids, new_scores
-):
+def _merge_beam(beam_ids, beam_scores, beam_expanded, new_ids, new_scores):
     """Merge new scored candidates into the beam, keep top-L by score."""
     L = beam_ids.shape[1]
     ids = jnp.concatenate([beam_ids, new_ids], axis=1)
@@ -120,7 +121,7 @@ def _merge_beam(
         "beam_width",
         "max_iters",
         "expand_per_iter",
-        "hash_bits",
+        "history_len",
         "unroll",
         "stop_threshold",
         "stop_patience",
@@ -130,19 +131,20 @@ def search_layer(
     graph_neighbors: jax.Array,  # int32 [N, R]
     provider,
     qstate,
-    entry_ids: jax.Array,  # int32 [Q] or [Q, E] initial candidates
+    entry_ids: jax.Array,  # int32 [Q] or [Q, E0] initial candidates
     beam_width: int,
     max_iters: int = 1000,
     expand_per_iter: int = 1,
-    visited_init: jax.Array | None = None,
-    hash_bits: int = DEFAULT_HASH_BITS,
+    history_len: int | None = None,
     unroll: int = 1,
     stop_threshold: float = 0.0,
     stop_patience: int = 24,
-) -> _BeamState:
+    init_state: BeamState | None = None,
+) -> BeamState:
     """Run beam search to quiescence on one adjacency layer.
 
-    Returns the final beam (sorted desc); callers slice top-k / rerank.
+    Returns the final beam (sorted desc); callers slice top-k / rerank, or
+    feed the state back via ``init_state`` to continue (resume).
 
     ``stop_threshold > 0`` enables threshold-search early termination
     (reference ``ScoreTracker``/VBase relaxed monotonicity,
@@ -152,72 +154,78 @@ def search_layer(
     query's neighborhood, scores only keep falling.
     """
     N, R = graph_neighbors.shape
-    if entry_ids.ndim == 1:
-        entry_ids = entry_ids[:, None]
-    Q, E0 = entry_ids.shape
     L = beam_width
-    words = (1 << hash_bits) // _WORD_BITS
-    n_slots = jnp.int32(1 << hash_bits)
+    E = expand_per_iter
+    T = _history_len(E, max_iters, history_len)
 
-    # --- init: score entry points, seed the beam -------------------------
-    safe_entries = jnp.maximum(entry_ids, 0)
-    entry_scores = jnp.where(
-        entry_ids >= 0, provider.score(qstate, safe_entries), NEG_INF
-    )
-    pad = L - E0
-    beam_ids = jnp.concatenate(
-        [entry_ids, jnp.full((Q, pad), -1, jnp.int32)], axis=1
-    )
-    beam_scores = jnp.concatenate(
-        [entry_scores, jnp.full((Q, pad), NEG_INF)], axis=1
-    )
-    order = jnp.argsort(-beam_scores, axis=1)
-    beam_ids = jnp.take_along_axis(beam_ids, order, axis=1)
-    beam_scores = jnp.take_along_axis(beam_scores, order, axis=1)
-    beam_expanded = jnp.zeros((Q, L), bool)
-
-    visited = (
-        visited_init
-        if visited_init is not None
-        else jnp.zeros((Q, words), jnp.uint32)
-    )
-    # entry slots are distinct per query only if E0==1; dedup via sort is
-    # overkill here — entries come from distinct nodes whose hash collisions
-    # at init merely mark an extra slot (safe: add of equal bits only when
-    # slots equal, so mask the later duplicates).
-    entry_slots = _hash_slots(safe_entries, hash_bits)
-    if E0 > 1:
-        srt = jnp.sort(jnp.where(entry_ids >= 0, entry_slots, n_slots), axis=1)
-        dup = jnp.concatenate(
-            [jnp.zeros((Q, 1), bool), srt[:, 1:] == srt[:, :-1]], axis=1
-        )
-        visited = _set_bits(
-            visited, jnp.minimum(srt, n_slots - 1), (srt < n_slots) & ~dup
-        )
+    if init_state is not None:
+        state = init_state
+        Q = state.ids.shape[0]
+        if state.ids.shape[1] < L:  # widen the beam for a continuation
+            pad = L - state.ids.shape[1]
+            state = state._replace(
+                ids=jnp.concatenate(
+                    [state.ids, jnp.full((Q, pad), -1, jnp.int32)], axis=1
+                ),
+                scores=jnp.concatenate(
+                    [state.scores, jnp.full((Q, pad), NEG_INF)], axis=1
+                ),
+                expanded=jnp.concatenate(
+                    [state.expanded, jnp.zeros((Q, pad), bool)], axis=1
+                ),
+            )
+        T = state.history.shape[1]
+        if stop_threshold > 0 and state.stale is None:
+            state = state._replace(stale=jnp.zeros((Q,), jnp.int32))
     else:
-        visited = _set_bits(visited, entry_slots, entry_ids >= 0)
+        if entry_ids.ndim == 1:
+            entry_ids = entry_ids[:, None]
+        Q, E0 = entry_ids.shape
 
-    state = _BeamState(
-        ids=beam_ids,
-        scores=beam_scores,
-        expanded=beam_expanded,
-        visited=visited,
-        visited_count=jnp.sum(entry_ids >= 0, axis=1).astype(jnp.int32),
-        expanded_count=jnp.zeros((Q,), jnp.int32),
-        iters=jnp.int32(0),
-        stale=jnp.zeros((Q,), jnp.int32) if stop_threshold > 0 else None,
-    )
+        # --- init: dedup + score entry points, seed the beam --------------
+        if E0 > 1:
+            eq = entry_ids[:, :, None] == entry_ids[:, None, :]
+            earlier = (
+                jax.lax.broadcasted_iota(jnp.int32, (E0, E0), 1)
+                < jax.lax.broadcasted_iota(jnp.int32, (E0, E0), 0)
+            )[None]
+            entry_ids = jnp.where(jnp.any(eq & earlier, axis=2), -1, entry_ids)
+        safe_entries = jnp.maximum(entry_ids, 0)
+        entry_scores = jnp.where(
+            entry_ids >= 0, provider.score(qstate, safe_entries), NEG_INF
+        )
+        pad = L - E0
+        beam_ids = jnp.concatenate(
+            [entry_ids, jnp.full((Q, pad), -1, jnp.int32)], axis=1
+        )
+        beam_scores = jnp.concatenate(
+            [entry_scores, jnp.full((Q, pad), NEG_INF)], axis=1
+        )
+        order = jnp.argsort(-beam_scores, axis=1)
+        beam_ids = jnp.take_along_axis(beam_ids, order, axis=1)
+        beam_scores = jnp.take_along_axis(beam_scores, order, axis=1)
 
-    def cond(s: _BeamState):
+        state = BeamState(
+            ids=beam_ids,
+            scores=beam_scores,
+            expanded=jnp.zeros((Q, L), bool),
+            history=jnp.full((Q, T), -1, jnp.int32),
+            visited_count=jnp.sum(entry_ids >= 0, axis=1).astype(jnp.int32),
+            expanded_count=jnp.zeros((Q,), jnp.int32),
+            iters=jnp.int32(0),
+            stale=jnp.zeros((Q,), jnp.int32) if stop_threshold > 0 else None,
+        )
+
+    def cond(s: BeamState):
         has_unexpanded = jnp.any(~s.expanded & (s.scores > NEG_INF))
         return has_unexpanded & (s.iters < max_iters)
 
-    E = expand_per_iter
     # fused edge-scoring: one contiguous codes row per expanded node
     # (reference processNeighbors -> enableSimilarityToNeighbors fast path)
-    use_fused = E == 1 and getattr(provider, "supports_fused", False)
+    use_fused = getattr(provider, "supports_fused", False)
 
-    def body(s: _BeamState) -> _BeamState:
+    def body(s: BeamState) -> BeamState:
+        Lc = s.ids.shape[1]
         # pop the E best unexpanded slots per query (the heap pops)
         sel_scores = jnp.where(~s.expanded, s.scores, NEG_INF)
         top_scores, sel_idx = jax.lax.top_k(sel_scores, E)  # [Q, E]
@@ -225,47 +233,30 @@ def search_layer(
         sel_ids = jnp.take_along_axis(s.ids, sel_idx, axis=1)  # [Q, E]
         safe_sel = jnp.where(active, sel_ids, 0)
 
-        # mark expanded (top_k indices are distinct per row)
-        qrows = jnp.broadcast_to(
-            jnp.arange(sel_idx.shape[0])[:, None], sel_idx.shape
+        # mark expanded via one-hot compare (top_k indices distinct per row)
+        hit = jnp.any(
+            (jnp.arange(Lc, dtype=jnp.int32)[None, :, None] == sel_idx[:, None, :])
+            & active[:, None, :],
+            axis=2,
         )
-        expanded = s.expanded.at[qrows, sel_idx].set(True)
+        expanded = s.expanded | hit
+
+        # record pops in the history ring (pad with -1 where inactive)
+        pos = (s.iters * E) % s.history.shape[1]
+        history = jax.lax.dynamic_update_slice(
+            s.history, jnp.where(active, sel_ids, -1), (jnp.int32(0), pos)
+        )
 
         # expand neighbors of all E pops at once
         nbrs = graph_neighbors[safe_sel].reshape(s.ids.shape[0], -1)  # [Q, E*R]
-        valid = ((nbrs >= 0) & active[:, :, None].repeat(R, axis=2).reshape(
-            s.ids.shape[0], -1
-        ))
-        if use_fused:
-            edge_scores = provider.score_edges(qstate, safe_sel[:, 0])  # [Q, R]
-        else:
-            edge_scores = jnp.zeros(nbrs.shape, jnp.float32)
+        valid = (nbrs >= 0) & jnp.repeat(active, R, axis=1)
+        nbrs = jnp.where(valid, nbrs, -1)
 
-        # sort by hashed slot + dedup: keeps the bitset scatter-add exact
-        # under hash collisions AND dedups shared neighbors across E pops.
-        slots = _hash_slots(nbrs, hash_bits)
-        key = jnp.where(valid, slots, n_slots)
-        key_sorted, nbrs_sorted, edge_sorted = jax.lax.sort(
-            (key, nbrs, edge_scores), dimension=1, num_keys=1
-        )
-        dup = jnp.concatenate(
-            [
-                jnp.zeros((key.shape[0], 1), bool),
-                key_sorted[:, 1:] == key_sorted[:, :-1],
-            ],
-            axis=1,
-        )
-        valid = (key_sorted < n_slots) & ~dup
-        nbrs = jnp.where(valid, nbrs_sorted, -1)
-        slots_sorted = jnp.minimum(key_sorted, n_slots - 1)
-
-        seen = _gather_bits(s.visited, slots_sorted)
-        fresh = valid & (seen == 0)
-        visited2 = _set_bits(s.visited, slots_sorted, fresh)
-
+        fresh = valid & _dedup_new(nbrs, s.ids, history)
         safe_nbrs = jnp.where(fresh, nbrs, 0)
         if use_fused:
-            new_scores = jnp.where(fresh, edge_sorted, NEG_INF)
+            edge_scores = provider.score_edges(qstate, safe_sel)  # [Q, E*R]
+            new_scores = jnp.where(fresh, edge_scores, NEG_INF)
         else:
             new_scores = jnp.where(
                 fresh, provider.score(qstate, safe_nbrs), NEG_INF
@@ -282,11 +273,11 @@ def search_layer(
             # retire queries stuck below the threshold: freeze their beams
             retire = stale2 >= stop_patience
             expanded3 = expanded3 | retire[:, None]
-        return _BeamState(
+        return BeamState(
             ids=ids3,
             scores=scores3,
             expanded=expanded3,
-            visited=visited2,
+            history=history,
             visited_count=s.visited_count + jnp.sum(fresh, axis=1).astype(jnp.int32),
             expanded_count=s.expanded_count
             + jnp.sum(active, axis=1).astype(jnp.int32),
@@ -299,7 +290,7 @@ def search_layer(
         # harmless no-ops (nothing unexpanded -> active all False)
         inner = body
 
-        def body(s: _BeamState) -> _BeamState:  # noqa: F811
+        def body(s: BeamState) -> BeamState:  # noqa: F811
             for _ in range(unroll):
                 s = inner(s)
             return s
@@ -355,7 +346,7 @@ def _descend_hierarchy(
         "hierarchy_beam",
         "expand_per_iter",
         "threshold",
-        "hash_bits",
+        "return_state",
     ),
 )
 def search(
@@ -373,7 +364,8 @@ def search(
     expand_per_iter: int = 1,
     threshold: float = 0.0,  # drop results scoring below this similarity
     exclude_ids: jax.Array | None = None,  # int32 [Q, P] drop from results
-    hash_bits: int = DEFAULT_HASH_BITS,
+    return_state: bool = False,
+    init_state: BeamState | None = None,
 ) -> SearchResult:
     """Two-pass wave search (reference ``GraphSearcher.search:222-243``).
 
@@ -381,6 +373,10 @@ def search(
     with ``provider`` (exact or compressed); if ``reranker`` is given, the
     top ``rerank_k`` beam entries get exact scores and the final top-k comes
     from those (``reranking:471-507``).
+
+    With ``return_state=True`` returns ``(SearchResult, BeamState)``; the
+    state can be passed back as ``init_state`` (see :func:`resume`) to pull
+    further results at marginal cost.
     """
     if beam_width is None:
         beam_width = max(top_k, 100)
@@ -389,21 +385,26 @@ def search(
 
     qstate = provider.prepare(queries)
     Q = queries.shape[0]
-    if graph.num_levels > 1:
-        entries = _descend_hierarchy(graph, provider, qstate, Q, hierarchy_beam)
+    if init_state is None:
+        if graph.num_levels > 1:
+            entries = _descend_hierarchy(graph, provider, qstate, Q, hierarchy_beam)
+        else:
+            entries = jnp.broadcast_to(graph.entry_node[None], (Q,)).astype(
+                jnp.int32
+            )
     else:
-        entries = jnp.broadcast_to(graph.entry_node[None], (Q,)).astype(jnp.int32)
+        entries = None
 
     final = search_layer(
         graph.base.neighbors,
         provider,
         qstate,
-        entries,
+        entries if entries is not None else jnp.zeros((Q, 1), jnp.int32),
         beam_width=beam_width,
         max_iters=max_iters,
         expand_per_iter=expand_per_iter,
-        hash_bits=hash_bits,
         stop_threshold=threshold,
+        init_state=init_state,
     )
 
     def filter_allowed(ids, scores):
@@ -434,7 +435,7 @@ def search(
         order = jnp.argsort(-scores, axis=1)
         ids = jnp.take_along_axis(ids, order, axis=1)[:, :top_k]
         scores = jnp.take_along_axis(scores, order, axis=1)[:, :top_k]
-        return SearchResult(
+        result = SearchResult(
             ids=ids,
             scores=scores,
             visited_count=final.visited_count,
@@ -442,6 +443,7 @@ def search(
             reranked_count=jnp.zeros((Q,), jnp.int32),
             approx_scores=scores,
         )
+        return (result, final) if return_state else result
 
     # exact rerank of the approximate top rerank_k
     cand_ids, cand_scores = filter_allowed(
@@ -461,7 +463,7 @@ def search(
     ids = jnp.take_along_axis(cand_ids, order, axis=1)[:, :top_k]
     scores = jnp.take_along_axis(exact_scores, order, axis=1)[:, :top_k]
     approx = jnp.take_along_axis(cand_scores, order, axis=1)[:, :top_k]
-    return SearchResult(
+    result = SearchResult(
         ids=ids,
         scores=scores,
         visited_count=final.visited_count,
@@ -469,6 +471,7 @@ def search(
         reranked_count=jnp.sum(cand_valid, axis=1).astype(jnp.int32),
         approx_scores=approx,
     )
+    return (result, final) if return_state else result
 
 
 def resume(
@@ -479,18 +482,23 @@ def resume(
     top_k: int,
     beam_width: int | None = None,
     reranker=None,
+    state: BeamState | None = None,
     **kwargs,
 ) -> SearchResult:
     """Pull the NEXT ``top_k`` results after ``previous``.
 
     Reference: ``GraphSearcher.resume():509-547`` continues from evicted
-    candidate state; here the wave equivalent re-searches with a wider beam
-    and excludes the already-returned ids from the result set (the caller
-    contract — more results, none repeated — is identical).
+    candidate state.  When ``state`` (from ``search(..., return_state=True)``)
+    is given, the beam + expansion history carry over and the continuation
+    costs only the marginal expansions (true resume).  Without it, the wave
+    equivalent re-searches with a wider beam; either way the caller contract
+    — more results, none repeated — is identical.
     """
     prev_k = previous.ids.shape[1]
     if beam_width is None:
         beam_width = max(2 * (top_k + prev_k), 100)
+    if state is not None:
+        beam_width = max(beam_width, state.ids.shape[1])
     return search(
         graph,
         provider,
@@ -499,5 +507,6 @@ def resume(
         beam_width=beam_width,
         reranker=reranker,
         exclude_ids=previous.ids,
+        init_state=state,
         **kwargs,
     )

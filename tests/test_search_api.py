@@ -48,6 +48,33 @@ def test_resume_returns_fresh_results(built):
     assert r >= 0.9, f"resume combined recall {r}"
 
 
+def test_true_resume_from_state(built):
+    """State-carrying resume: no repeats, good combined recall, and the
+    continuation costs less than the from-scratch wider re-search
+    (reference ``GraphSearcher.resume():509-547`` evicted-state contract)."""
+    ds, cfg, graph, provider = built
+    q = jnp.asarray(ds.queries)
+    first, state = search(
+        graph, provider, q, top_k=10, beam_width=40, return_state=True
+    )
+    more = resume(graph, provider, q, first, top_k=10, state=state)
+    a = np.asarray(first.ids)
+    b = np.asarray(more.ids)
+    for row_a, row_b in zip(a, b):
+        assert not set(row_a.tolist()) & set(x for x in row_b.tolist() if x >= 0)
+    combined = np.concatenate([a, b], axis=1)
+    r = recall_at_k(combined, ds.ground_truth[:, :20], 20)
+    assert r >= 0.9, f"true-resume combined recall {r}"
+    # marginal cost: the continuation's extra expansions are fewer than a
+    # fresh search at the resume beam width would pay
+    fresh = search(graph, provider, q, top_k=10, beam_width=max(2 * 20, 100))
+    marginal = np.asarray(more.expanded_count) - np.asarray(first.expanded_count)
+    assert marginal.mean() < 0.5 * np.asarray(fresh.expanded_count).mean(), (
+        marginal.mean(),
+        np.asarray(fresh.expanded_count).mean(),
+    )
+
+
 def test_refine_improves_or_holds_recall(built):
     ds, cfg, graph, provider = built
     q = jnp.asarray(ds.queries)
