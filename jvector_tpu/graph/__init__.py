@@ -21,8 +21,10 @@ from jvector_tpu.graph.score import (
     BQScoreProvider,
     FusedADCScoreProvider,
     LUT16ScoreProvider,
+    SQ4ScoreProvider,
     build_fused_codes,
     build_fused_codes_lut16,
+    build_fused_sq4,
 )
 from jvector_tpu.graph.searcher import search, resume, SearchResult, BeamState
 from jvector_tpu.graph.builder import GraphIndexBuilder, build_graph
@@ -35,8 +37,10 @@ __all__ = [
     "BQScoreProvider",
     "FusedADCScoreProvider",
     "LUT16ScoreProvider",
+    "SQ4ScoreProvider",
     "build_fused_codes",
     "build_fused_codes_lut16",
+    "build_fused_sq4",
     "search",
     "resume",
     "SearchResult",

@@ -70,12 +70,21 @@ class BeamState(NamedTuple):
     stale: jax.Array = None  # int32 [Q] or None
 
 
-def _history_len(expand_per_iter: int, max_iters: int, requested: int | None) -> int:
-    """Ring size: covers the expansion budget, lane-aligned, multiple of E."""
+def _history_len(
+    expand_per_iter: int, max_iters: int, beam_width: int, requested: int | None
+) -> int:
+    """Ring size: lane-aligned, multiple of E.
+
+    Default 2x the beam width: a query rarely expands more than ~2L nodes
+    before quiescence, the dedup compare cost scales with T, and the ring
+    overwrite merely forgets the OLDEST expansions — a forgotten node can
+    only re-enter if it also beats the current beam floor, which decays
+    monotonically, so duplicates past 2L expansions are vanishingly rare.
+    """
     if requested is not None:
         t = requested
     else:
-        t = min(expand_per_iter * max_iters, 512)
+        t = min(expand_per_iter * max_iters, max(128, 2 * beam_width))
     step = 128
     while step % expand_per_iter:  # keep T a multiple of E so ring writes
         step += 128  # never straddle the wrap point
@@ -156,7 +165,7 @@ def search_layer(
     N, R = graph_neighbors.shape
     L = beam_width
     E = expand_per_iter
-    T = _history_len(E, max_iters, history_len)
+    T = _history_len(E, max_iters, L, history_len)
 
     if init_state is not None:
         state = init_state

@@ -11,6 +11,7 @@ from jvector_tpu.quantization.kmeans import kmeans, kmeans_pp_init
 from jvector_tpu.quantization.pq import ProductQuantization
 from jvector_tpu.quantization.bq import BinaryQuantization
 from jvector_tpu.quantization.nvq import NVQuantization
+from jvector_tpu.quantization.sq import ScalarQuantization4
 
 __all__ = [
     "kmeans",
@@ -18,4 +19,5 @@ __all__ = [
     "ProductQuantization",
     "BinaryQuantization",
     "NVQuantization",
+    "ScalarQuantization4",
 ]

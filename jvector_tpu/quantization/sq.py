@@ -1,0 +1,171 @@
+"""4-bit scalar quantization (SQ4): per-dim affine codes, arithmetic ADC.
+
+TPU-native first-pass compression.  Rationale: every table-based ADC (the
+reference's ``PQDecoder``/``FusedPQDecoder``, our LUT16) needs a per-code
+LUT *gather*, which TPUs lack — one-hot selects cost O(K) VPU ops per code.
+SQ4 removes the table: each dimension stores a 4-bit level ``k`` with an
+affine dequant ``v_m ~= a_m * k + b_m``, and the measures factor into pure
+multiply-reduce over the raw codes:
+
+- EUCLIDEAN: ``||q - v||^2 = C(q) + sum_m u_m(q) * k_m + w2(v)`` with
+  ``u_m = -2 a_m (q_m - b_m)``, ``C = ||q - b||^2``, ``w2 = sum (a_m k_m)^2``
+  (w2 is a per-NODE scalar computed once at encode time).
+- DOT: ``<q, v> = sum_m (q_m a_m) k_m + <q, b>``.
+- COSINE: dot / sqrt(norm2(v)) with ``norm2`` another per-node constant.
+
+So scoring a candidate block is one fused unpack+FMA+reduce — the same XLA
+fusion shape as exact f32 scoring but reading 4 bits/dim instead of 32.
+
+Reference relationship: fills the ``CompressedVectors`` slot next to PQ/BQ/
+NVQ (``jv/quantization/``); the fit (clipped per-dim range) follows the
+same train-on-sample contract as ``ProductQuantization.compute``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_TRAINING_SET_SIZE = 131_072
+
+
+def _register(cls, data_fields, meta_fields):
+    return partial(
+        jax.tree_util.register_dataclass,
+        data_fields=data_fields,
+        meta_fields=meta_fields,
+    )(cls)
+
+
+def pack_nibble_rows(codes: jax.Array) -> jax.Array:
+    """``[..., D]`` values <16 -> packed ``[..., D/2]`` uint8 (lo, hi)."""
+    c = codes.astype(jnp.uint8)
+    return (c[..., 0::2] | (c[..., 1::2] << 4)).astype(jnp.uint8)
+
+
+def unpack_nibble_rows(packed: jax.Array) -> jax.Array:
+    """Packed ``[..., D/2]`` uint8 -> ``[..., D]`` int32 levels."""
+    lo = (packed & 0xF).astype(jnp.int32)
+    hi = (packed >> 4).astype(jnp.int32)
+    return jnp.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1], -1)
+
+
+@partial(_register, data_fields=["scale", "offset"], meta_fields=["original_dim"])
+@dataclasses.dataclass(frozen=True)
+class ScalarQuantization4:
+    """Per-dim affine 4-bit quantizer: ``v ~= scale * k + offset``."""
+
+    scale: jax.Array  # [D_pad] float32 (a_m)
+    offset: jax.Array  # [D_pad] float32 (b_m)
+    original_dim: int
+
+    @staticmethod
+    def compute(
+        vectors: jax.Array | np.ndarray,
+        clip_quantile: float = 0.001,
+        seed: int = 0,
+    ) -> "ScalarQuantization4":
+        """Fit per-dim clipped ranges on a <=128k sample."""
+        vectors = np.asarray(vectors, np.float32)
+        n, d = vectors.shape
+        if n > MAX_TRAINING_SET_SIZE:
+            idx = np.random.default_rng(seed).choice(
+                n, MAX_TRAINING_SET_SIZE, replace=False
+            )
+            vectors = vectors[np.sort(idx)]
+        lo = np.quantile(vectors, clip_quantile, axis=0)
+        hi = np.quantile(vectors, 1.0 - clip_quantile, axis=0)
+        d_pad = ((d + 1) // 2) * 2
+        scale = np.zeros(d_pad, np.float32)
+        offset = np.zeros(d_pad, np.float32)
+        scale[:d] = np.maximum((hi - lo) / 15.0, 1e-12)
+        offset[:d] = lo
+        return ScalarQuantization4(
+            scale=jnp.asarray(scale), offset=jnp.asarray(offset), original_dim=d
+        )
+
+    @property
+    def padded_dim(self) -> int:
+        return self.scale.shape[0]
+
+    @property
+    def compressed_size(self) -> int:
+        """Bytes per encoded vector (packed nibbles)."""
+        return self.padded_dim // 2
+
+    def _pad(self, x: jax.Array) -> jax.Array:
+        d = x.shape[-1]
+        if d < self.padded_dim:
+            x = jnp.concatenate(
+                [x, jnp.zeros(x.shape[:-1] + (self.padded_dim - d,), x.dtype)],
+                axis=-1,
+            )
+        return x
+
+    @partial(jax.jit, static_argnames=())
+    def _encode_block(self, vectors: jax.Array) -> jax.Array:
+        x = self._pad(jnp.asarray(vectors, jnp.float32))
+        k = jnp.clip(jnp.round((x - self.offset) / self.scale), 0, 15)
+        return pack_nibble_rows(k.astype(jnp.uint8))
+
+    def encode(
+        self, vectors: jax.Array | np.ndarray, block: int = 262_144
+    ) -> jax.Array:
+        """Encode to packed ``uint8 [N, D_pad/2]``."""
+        vectors = jnp.asarray(vectors, jnp.float32)
+        outs = [
+            self._encode_block(vectors[i : i + block])
+            for i in range(0, vectors.shape[0], block)
+        ]
+        return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+    @partial(jax.jit, static_argnames=())
+    def decode(self, packed: jax.Array) -> jax.Array:
+        k = unpack_nibble_rows(packed).astype(jnp.float32)
+        return (k * self.scale + self.offset)[..., : self.original_dim]
+
+    @partial(jax.jit, static_argnames=())
+    def node_constants(self, packed: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Per-node scalars baked at encode time:
+
+        - ``w2``:    ``sum_m (a_m k_m)^2``        (euclidean third term)
+        - ``norm2``: ``sum_m (a_m k_m + b_m)^2``  (cosine denominator)
+        """
+        k = unpack_nibble_rows(packed).astype(jnp.float32)
+        ak = k * self.scale
+        w2 = jnp.sum(ak * ak, axis=-1)
+        v = ak + self.offset
+        norm2 = jnp.sum(v * v, axis=-1)
+        return w2, norm2
+
+    def reconstruction_error(self, vectors: jax.Array | np.ndarray) -> float:
+        vectors = jnp.asarray(vectors, jnp.float32)
+        dec = self.decode(self.encode(vectors))
+        return float(jnp.mean(jnp.sum((dec - vectors) ** 2, axis=1)))
+
+    def provider_for_graph(self, codes_packed, neighbors, sim):
+        """Full fused provider for a graph: builds the fused tables too.
+
+        ``codes_packed`` must already be padded to the graph capacity.
+        """
+        from jvector_tpu.graph.score import SQ4ScoreProvider, build_fused_sq4
+        from jvector_tpu.ops.similarity import SimilarityFunction
+
+        sim = SimilarityFunction.parse(sim)
+        w2, norm2 = self.node_constants(codes_packed)
+        const = norm2 if sim == SimilarityFunction.COSINE else w2
+        fused_packed, fused_w2 = build_fused_sq4(neighbors, codes_packed, const)
+        return SQ4ScoreProvider(
+            codes_packed=codes_packed,
+            node_w2=w2,
+            node_norm2=norm2,
+            fused_packed=fused_packed,
+            fused_w2=fused_w2,
+            scale=self.scale,
+            offset=self.offset,
+            sim=sim,
+        )

@@ -1,0 +1,97 @@
+"""SQ4 (4-bit scalar quantization) tests: algebraic-ADC exactness vs decoded
+vectors, end-to-end fused search recall, all three similarities."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jvector_tpu.quantization import ScalarQuantization4
+from jvector_tpu.quantization.sq import pack_nibble_rows, unpack_nibble_rows
+
+
+def test_pack_roundtrip_and_decode_error():
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(500, 48)).astype(np.float32)
+    sq = ScalarQuantization4.compute(data)
+    codes = sq.encode(data)
+    assert codes.shape == (500, 24)
+    k = unpack_nibble_rows(codes)
+    assert int(k.max()) <= 15
+    np.testing.assert_array_equal(
+        np.asarray(pack_nibble_rows(k.astype(jnp.uint8))), np.asarray(codes)
+    )
+    # 4-bit/dim keeps most of the variance
+    var = float(np.sum(np.var(data, axis=0)))
+    assert sq.reconstruction_error(data) < 0.02 * var
+
+
+@pytest.mark.parametrize("sim", ["euclidean", "dot_product", "cosine"])
+def test_sq4_scores_match_decoded_exact(sim):
+    """The factored arithmetic ADC must equal exact scoring of the decoded
+    vectors (the identity is algebraic, not approximate)."""
+    from jvector_tpu.graph.score import ExactScoreProvider
+
+    rng = np.random.default_rng(1)
+    n, d, q, c = 400, 32, 6, 20
+    data = rng.normal(size=(n, d)).astype(np.float32)
+    queries = rng.normal(size=(q, d)).astype(np.float32)
+    sq = ScalarQuantization4.compute(data)
+    codes = sq.encode(data)
+    nbrs = jnp.asarray(
+        np.argsort(rng.random((n, c)), axis=1), jnp.int32
+    ) % n
+    prov = sq.provider_for_graph(codes, nbrs, sim)
+
+    ids = jnp.asarray(rng.integers(0, n, (q, c)), jnp.int32)
+    got = prov.score(prov.prepare(jnp.asarray(queries)), ids)
+    exact = ExactScoreProvider(vectors=sq.decode(codes), sim=sim)
+    expect = exact.score(exact.prepare(jnp.asarray(queries)), ids)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expect), rtol=2e-4, atol=2e-5
+    )
+
+    # fused edge path agrees with score() on the same neighbor ids
+    node_ids = ids[:, 0]
+    edge = prov.score_edges(prov.prepare(jnp.asarray(queries)), node_ids)
+    direct = prov.score(
+        prov.prepare(jnp.asarray(queries)), nbrs[node_ids]
+    )
+    np.testing.assert_allclose(
+        np.asarray(edge), np.asarray(direct), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_sq4_fused_search_recall():
+    from jvector_tpu.graph import GraphConfig, build_graph, search
+    from jvector_tpu.util.datasets import exact_ground_truth, recall_at_k
+
+    rng = np.random.default_rng(3)
+    n, d = 3000, 64
+    centers = rng.normal(size=(20, d)).astype(np.float32) * 3
+    base = centers[rng.integers(0, 20, n)] + rng.normal(size=(n, d)).astype(
+        np.float32
+    )
+    queries = centers[rng.integers(0, 20, 64)] + rng.normal(
+        size=(64, d)
+    ).astype(np.float32)
+    gt = exact_ground_truth(base, queries, 10)
+    graph, exact = build_graph(base, "euclidean", GraphConfig(max_degree=16))
+
+    sq = ScalarQuantization4.compute(base)
+    codes = sq.encode(base)
+    pad = graph.capacity - codes.shape[0]
+    if pad:
+        codes = jnp.concatenate([codes, jnp.zeros((pad, codes.shape[1]), jnp.uint8)])
+    prov = sq.provider_for_graph(codes, graph.base.neighbors, "euclidean")
+    for e in (1, 4):
+        res = search(
+            graph,
+            prov,
+            jnp.asarray(queries),
+            top_k=10,
+            beam_width=40,
+            reranker=exact,
+            expand_per_iter=e,
+        )
+        r = recall_at_k(np.asarray(res.ids), gt, 10)
+        assert r >= 0.95, f"SQ4 fused E={e} recall {r}"
