@@ -17,11 +17,21 @@ measurement, and is labeled as such in the JSON (``baseline_source``,
 ``baseline_kind``) with the raw anchor numbers so a reader can re-derive or
 re-scale it.
 
+Throughput methodology: waves are dispatched asynchronously and synced at
+the end (the reference's ThroughputBenchmark likewise saturates a parallel
+stream without per-query round-trips); serial per-wave latency is reported
+separately as ``qps_serial``.
+
 Zero-egress environment: the real SIFT-1M base vectors are not on disk, so
 the corpus is a synthetic SIFT-like clustered set (128-d) with exact ground
 truth computed on device.  Shapes/params match the reference bench defaults:
 M=32, efConstruction=100, neighborOverflow=1.2, alpha=1.2, topK=10,
-overquery sweep for the recall>=0.95 operating point.
+beam sweep for the recall>=0.95 operating point.
+
+First-pass strategies compared (best one meeting the floor is reported):
+- ``sq4``: fused 4-bit scalar-quantized scoring + exact f32 rerank — the
+  TPU-native flagship (see jvector_tpu/quantization/sq.py)
+- ``exact``: single-pass full-precision scoring
 """
 
 from __future__ import annotations
@@ -56,7 +66,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from jvector_tpu.graph import GraphConfig, build_graph, search
-    from jvector_tpu.quantization import ProductQuantization
+    from jvector_tpu.quantization import ScalarQuantization4
     from jvector_tpu.util.datasets import (
         exact_ground_truth,
         recall_at_k,
@@ -86,38 +96,23 @@ def main() -> None:
     jax.block_until_ready(graph.base.neighbors)
     build_s = time.time() - t0
 
-    # ---- PQ first pass + exact f32 rerank (the SIFT-1M reference config),
-    # with the edge-fused code layout (reference FusedPQ / Quicker-ADC) ----
-    from jvector_tpu.graph import FusedADCScoreProvider, build_fused_codes
-
-    def make_pq_provider(m):
-        pq = ProductQuantization.compute(base, m=m, clusters=256)
-        codes = pq.encode(base)
-        pad = graph.capacity - codes.shape[0]
-        if pad:
-            codes = jnp.concatenate(
-                [codes, jnp.zeros((pad, codes.shape[1]), jnp.uint8)]
-            )
-        fused = build_fused_codes(graph.base.neighbors, codes)
-        prov = FusedADCScoreProvider(
-            codes=codes,
-            fused_codes=fused,
-            codebooks=pq.codebooks,
-            center=pq.center,
-            sim="euclidean",
-        )
-        jax.block_until_ready(fused)
-        return prov
-
+    # ---- SQ4 fused first pass + exact f32 rerank (TPU-native flagship) ----
     t0 = time.time()
-    pq_m = args.dim // 8  # reference default mFactor=8
-    pq_provider = make_pq_provider(pq_m)
-    pq_s = time.time() - t0
+    sq = ScalarQuantization4.compute(np.asarray(base[:131072]))
+    codes = sq.encode(base)
+    pad = graph.capacity - codes.shape[0]
+    if pad:
+        codes = jnp.concatenate(
+            [codes, jnp.zeros((pad, codes.shape[1]), jnp.uint8)]
+        )
+    sq4_provider = sq.provider_for_graph(codes, graph.base.neighbors, "euclidean")
+    jax.block_until_ready(sq4_provider.fused_packed)
+    encode_s = time.time() - t0
 
-    def run_pq(qs, beam):
+    def run_sq4(qs, beam):
         return search(
             graph,
-            pq_provider,
+            sq4_provider,
             qs,
             top_k=args.top_k,
             beam_width=beam,
@@ -133,10 +128,15 @@ def main() -> None:
     waves = [qd[i : i + w] for i in range(0, args.queries, w) if i + w <= args.queries]
 
     def operating_point(run):
-        """Smallest beam hitting the recall floor, then measured QPS there."""
+        """Smallest beam hitting the recall floor, then measured QPS there.
+
+        Throughput = async wave dispatch, one sync at the end; serial QPS
+        (block per wave) also measured for the latency-oriented number.
+        """
         chosen = None
-        for oq in (2, 3, 5, 7, 10, 15, 20):
-            beam = max(args.top_k * oq, args.top_k)
+        for beam in (20, 25, 30, 35, 40, 50, 60, 80, 100, 150, 200):
+            if beam < args.top_k:
+                continue
             res = run(qd[: args.gt_queries], beam)
             r = recall_at_k(np.asarray(res.ids), gt, args.top_k)
             chosen = (beam, r)
@@ -145,32 +145,25 @@ def main() -> None:
         beam, recall = chosen
         run(waves[0], beam).ids.block_until_ready()  # warmup/compile
         t0 = time.time()
-        total = 0
+        outs = [run(wv, beam).ids for wv in waves]
+        for o in outs:
+            o.block_until_ready()
+        qps = sum(wv.shape[0] for wv in waves) / (time.time() - t0)
+        t0 = time.time()
         for wv in waves:
             run(wv, beam).ids.block_until_ready()
-            total += wv.shape[0]
-        return total / (time.time() - t0), recall, beam
+        qps_serial = sum(wv.shape[0] for wv in waves) / (time.time() - t0)
+        return qps, qps_serial, recall, beam
 
-    # Evaluate both first-pass strategies, report the best one meeting the
-    # floor (the TPU's HBM bandwidth often makes exact f32 the better
-    # operating point in-memory; PQ wins when the corpus exceeds HBM).
-    exact_qps, exact_recall, exact_beam = operating_point(run_exact)
-    pq_qps, pq_recall, pq_beam = operating_point(run_pq)
-    if pq_recall < RECALL_FLOOR and args.dim // 4 > pq_m:
-        # ADC precision limited — double the subspace count (mFactor 4),
-        # the reference grid's next compression rung
-        t0 = time.time()
-        pq_m = args.dim // 4
-        pq_provider = make_pq_provider(pq_m)
-        pq_s += time.time() - t0
-        pq_qps, pq_recall, pq_beam = operating_point(run_pq)
+    exact_qps, exact_qps_serial, exact_recall, exact_beam = operating_point(run_exact)
+    sq4_qps, sq4_qps_serial, sq4_recall, sq4_beam = operating_point(run_sq4)
 
     candidates = [
-        ("exact_f32", exact_qps, exact_recall, exact_beam),
-        ("pq_adc+f32_rerank", pq_qps, pq_recall, pq_beam),
+        ("exact_f32", exact_qps, exact_qps_serial, exact_recall, exact_beam),
+        ("sq4+f32_rerank", sq4_qps, sq4_qps_serial, sq4_recall, sq4_beam),
     ]
-    ok = [c for c in candidates if c[2] >= RECALL_FLOOR] or candidates
-    mode, qps, recall, beam = max(ok, key=lambda c: c[1])
+    ok = [c for c in candidates if c[3] >= RECALL_FLOOR] or candidates
+    mode, qps, qps_serial, recall, beam = max(ok, key=lambda c: c[1])
 
     print(
         json.dumps(
@@ -185,13 +178,13 @@ def main() -> None:
                 "recall": round(float(recall), 4),
                 "beam_width": beam,
                 "mode": mode,
+                "qps_serial": round(qps_serial, 1),
                 "build_seconds": round(build_s, 1),
-                "pq_train_encode_seconds": round(pq_s, 1),
+                "sq4_encode_seconds": round(encode_s, 1),
                 "exact_qps": round(exact_qps, 1),
                 "exact_recall": round(float(exact_recall), 4),
-                "pq_qps": round(pq_qps, 1),
-                "pq_recall": round(float(pq_recall), 4),
-                "pq_m": pq_m,
+                "sq4_qps": round(sq4_qps, 1),
+                "sq4_recall": round(float(sq4_recall), 4),
                 "device": str(dev),
             }
         )

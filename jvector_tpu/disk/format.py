@@ -43,6 +43,7 @@ class FeatureId:
     SEPARATED_NVQ = "separated_nvq"
     PQ_CODES = "pq_codes"  # sidecar compressed vectors (reference PQVectors file)
     BQ_CODES = "bq_codes"
+    FUSED_SQ4 = "fused_sq4"  # TPU-native 4-bit scalar-quantized fused codes
 
     ALL = (
         INLINE_VECTORS,
@@ -52,6 +53,7 @@ class FeatureId:
         SEPARATED_NVQ,
         PQ_CODES,
         BQ_CODES,
+        FUSED_SQ4,
     )
 
 

@@ -1,0 +1,329 @@
+"""Bounded-memory graph serving: adjacency + codes stay on HOST.
+
+Reference: the defining disk feature of ``OnDiskGraphIndex`` — beam search
+reads each expanded node's record (adjacency + fused codes) from storage
+with O(beam) memory (``OnDiskGraphIndex.View:522-645``,
+``getPackedNeighbors:593-612`` does ONE contiguous read per expansion).
+
+TPU equivalent: the graph's big arrays (``neighbors [N, R]``,
+``fused_packed [N, R, MP]``, ``fused_w2 [N, R]``) live in host RAM as
+memmaps of the index file; HBM holds only the wave's beam state (a few MB).
+Each iteration:
+
+1. a jitted device step merges the previously streamed expansion rows into
+   the beam (exact compare-based dedup, same as the in-HBM searcher) and
+   pops the next ``E`` candidates per query,
+2. the host fancy-indexes the popped rows out of the memmaps (one
+   contiguous row per expansion — the same locality the reference gets
+   from one disk seek) and ships them to the device.
+
+The device never holds more than ``[Q, E, R]`` rows of graph data, so the
+searchable corpus is bounded by host RAM/disk, not HBM — this is what
+serves the 100M larger-than-memory config.  The full-precision rerank tier
+(:mod:`jvector_tpu.disk.host_tier`) composes on top.
+
+Single-level graphs only (the LTM builds here don't use hierarchy); the
+descent for hierarchical graphs would keep the small upper-level code
+blocks on device exactly like the reference's ``loadInMemoryLayers``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jvector_tpu.graph.index import NEG_INF
+from jvector_tpu.graph.searcher import (
+    BeamState,
+    SearchResult,
+    _dedup_new,
+    _history_len,
+    _merge_beam,
+)
+from jvector_tpu.ops.similarity import SimilarityFunction, normalize_score
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["scale", "offset"],
+    meta_fields=["sim"],
+)
+@dataclasses.dataclass(frozen=True)
+class SQ4StreamScorer:
+    """Query-side SQ4 math for streamed rows (no device-resident codes)."""
+
+    scale: jax.Array  # [D_pad]
+    offset: jax.Array  # [D_pad]
+    sim: SimilarityFunction = SimilarityFunction.EUCLIDEAN
+
+    def prepare(self, queries: jax.Array):
+        q = queries.astype(jnp.float32)
+        d = q.shape[-1]
+        dp = self.scale.shape[0]
+        if d < dp:
+            q = jnp.concatenate(
+                [q, jnp.zeros(q.shape[:-1] + (dp - d,), q.dtype)], axis=-1
+            )
+        if self.sim == SimilarityFunction.EUCLIDEAN:
+            qb = q - self.offset
+            return -2.0 * self.scale * qb, jnp.sum(qb * qb, axis=-1)
+        if self.sim == SimilarityFunction.COSINE:
+            qn = q / jnp.maximum(
+                jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True)), 1e-30
+            )
+            return qn * self.scale, jnp.sum(qn * self.offset, axis=-1)
+        return q * self.scale, jnp.sum(q * self.offset, axis=-1)
+
+    def score_rows(self, qstate, k_packed: jax.Array, w2: jax.Array) -> jax.Array:
+        """k_packed ``[Q, C, MP]`` uint8, w2 ``[Q, C]`` -> scores ``[Q, C]``."""
+        from jvector_tpu.quantization.sq import unpack_nibble_rows
+
+        u, c0 = qstate
+        k = unpack_nibble_rows(k_packed).astype(jnp.float32)
+        acc = jnp.einsum("qcd,qd->qc", k, u, preferred_element_type=jnp.float32)
+        if self.sim == SimilarityFunction.EUCLIDEAN:
+            raw = jnp.maximum(acc + c0[:, None] + w2, 0.0)
+        elif self.sim == SimilarityFunction.COSINE:
+            raw = (acc + c0[:, None]) / jnp.maximum(jnp.sqrt(w2), 1e-30)
+        else:
+            raw = acc + c0[:, None]
+        return normalize_score(raw, self.sim)
+
+
+@partial(jax.jit, static_argnames=("expand",), donate_argnums=(0,))
+def _host_step(
+    state: BeamState,
+    scorer: SQ4StreamScorer,
+    qstate,
+    sel_prev: jax.Array,  # int32 [Q, E] (-1 = inactive)
+    nbrs: jax.Array,  # int32 [Q, E, R] rows for sel_prev
+    k_rows: jax.Array,  # uint8 [Q, E, R, MP]
+    w2_rows: jax.Array,  # float32 [Q, E, R]
+    expand: int,
+):
+    """Merge the streamed expansion, then pop the next E candidates."""
+    Q, E, R = nbrs.shape
+    active_prev = sel_prev >= 0
+
+    flat_nbrs = nbrs.reshape(Q, E * R)
+    valid = (flat_nbrs >= 0) & jnp.repeat(active_prev, R, axis=1)
+    flat_nbrs = jnp.where(valid, flat_nbrs, -1)
+    fresh = valid & _dedup_new(flat_nbrs, state.ids, state.history)
+    scores = scorer.score_rows(
+        qstate, k_rows.reshape(Q, E * R, -1), w2_rows.reshape(Q, E * R)
+    )
+    new_scores = jnp.where(fresh, scores, NEG_INF)
+    new_ids = jnp.where(fresh, flat_nbrs, -1)
+    ids2, scores2, expanded2 = _merge_beam(
+        state.ids, state.scores, state.expanded, new_ids, new_scores
+    )
+
+    # pop phase
+    sel_scores = jnp.where(~expanded2, scores2, NEG_INF)
+    top_scores, sel_idx = jax.lax.top_k(sel_scores, expand)
+    active = top_scores > NEG_INF
+    sel_ids = jnp.take_along_axis(ids2, sel_idx, axis=1)
+    L = ids2.shape[1]
+    hit = jnp.any(
+        (jnp.arange(L, dtype=jnp.int32)[None, :, None] == sel_idx[:, None, :])
+        & active[:, None, :],
+        axis=2,
+    )
+    pos = (state.iters * expand) % state.history.shape[1]
+    history = jax.lax.dynamic_update_slice(
+        state.history, jnp.where(active, sel_ids, -1), (jnp.int32(0), pos)
+    )
+    new_state = BeamState(
+        ids=ids2,
+        scores=scores2,
+        expanded=expanded2 | hit,
+        history=history,
+        visited_count=state.visited_count + jnp.sum(fresh, axis=1).astype(jnp.int32),
+        expanded_count=state.expanded_count
+        + jnp.sum(active, axis=1).astype(jnp.int32),
+        iters=state.iters + 1,
+        stale=state.stale,
+    )
+    return new_state, jnp.where(active, sel_ids, -1)
+
+
+@dataclasses.dataclass
+class HostGraphIndex:
+    """SQ4-fused graph whose arrays live on host (memmap-friendly)."""
+
+    neighbors: np.ndarray  # [N, R] int32
+    fused_packed: np.ndarray  # [N, R*MP] uint8 (2-D, matches the provider)
+    fused_w2: np.ndarray  # [N, R] float32
+    codes_packed: np.ndarray  # [N, MP] uint8 (entry scoring)
+    node_const: np.ndarray  # [N] float32 (w2 or norm2 per sim)
+    scale: np.ndarray  # [D_pad]
+    offset: np.ndarray  # [D_pad]
+    entry_node: int
+    sim: SimilarityFunction = SimilarityFunction.EUCLIDEAN
+    deleted: np.ndarray | None = None  # [N] bool
+
+    @staticmethod
+    def load(path) -> "HostGraphIndex":
+        """Memmap the graph + fused-SQ4 feature straight off an index file."""
+        from jvector_tpu.disk.format import FeatureId, load_index
+
+        idx = load_index(path)
+        r = idx.reader
+        f = f"feature/{FeatureId.FUSED_SQ4}"
+        sim = SimilarityFunction.parse(idx.meta.get("similarity", "euclidean"))
+        deleted = (
+            r.read("graph/deleted", mmap=True)
+            if r.has_array("graph/deleted")
+            else None
+        )
+        return HostGraphIndex(
+            neighbors=r.read("graph/L0/neighbors", mmap=True),
+            fused_packed=r.read(f"{f}/fused_packed", mmap=True),
+            fused_w2=r.read(f"{f}/fused_w2", mmap=True),
+            codes_packed=r.read(f"{f}/codes_packed", mmap=True),
+            node_const=r.read(f"{f}/node_const", mmap=True),
+            scale=np.asarray(r.read(f"{f}/scale")),
+            offset=np.asarray(r.read(f"{f}/offset")),
+            entry_node=int(idx.meta["entry_node"]),
+            sim=sim,
+            deleted=deleted,
+        )
+
+    def hbm_bytes(self, n_queries: int, beam_width: int, expand: int) -> int:
+        """Device working-set estimate: beam state + one streamed expansion."""
+        q, l = n_queries, beam_width
+        r = self.neighbors.shape[1]
+        mp = self.fused_packed.shape[1] // r
+        t = 256  # history ring order of magnitude
+        beam = q * l * (4 + 4 + 1) + q * t * 4
+        streamed = q * expand * r * (4 + mp + 4)
+        return beam + streamed
+
+    def search(
+        self,
+        queries: jax.Array,
+        top_k: int,
+        beam_width: int = 64,
+        expand: int = 4,
+        max_iters: int = 200,
+        rerank=None,  # HostVectorStore or None
+    ) -> SearchResult:
+        """Wave beam search streaming graph rows from host per iteration."""
+        scorer = SQ4StreamScorer(
+            scale=jnp.asarray(self.scale),
+            offset=jnp.asarray(self.offset),
+            sim=self.sim,
+        )
+        qstate = scorer.prepare(jnp.asarray(queries))
+        Q = queries.shape[0]
+        L = beam_width
+        T = _history_len(expand, max_iters, L, None)
+
+        # seed: score the entry node's code on device
+        e_k = jnp.asarray(self.codes_packed[self.entry_node][None, None])  # [1,1,MP]
+        e_w2 = jnp.asarray(self.node_const[self.entry_node].reshape(1, 1))
+        e_score = scorer.score_rows(
+            qstate, jnp.broadcast_to(e_k, (Q, 1, e_k.shape[-1])),
+            jnp.broadcast_to(e_w2, (Q, 1)),
+        )  # [Q, 1]
+        ids0 = jnp.full((Q, L), -1, jnp.int32).at[:, 0].set(self.entry_node)
+        scores0 = jnp.full((Q, L), NEG_INF).at[:, 0].set(e_score[:, 0])
+        state = BeamState(
+            ids=ids0,
+            scores=scores0,
+            expanded=jnp.zeros((Q, L), bool),
+            history=jnp.full((Q, T), -1, jnp.int32),
+            visited_count=jnp.ones((Q,), jnp.int32),
+            expanded_count=jnp.zeros((Q,), jnp.int32),
+            iters=jnp.int32(0),
+            stale=None,
+        )
+
+        R = self.neighbors.shape[1]
+        mp = self.fused_packed.shape[1] // R
+        sel_np = np.full((Q, expand), -1, np.int32)
+        nbrs_d = jnp.full((Q, expand, R), -1, jnp.int32)
+        rows_d = jnp.zeros((Q, expand, R, mp), jnp.uint8)
+        w2_d = jnp.zeros((Q, expand, R), jnp.float32)
+
+        for _ in range(max_iters):
+            state, sel = _host_step(
+                state, scorer, qstate, jnp.asarray(sel_np), nbrs_d, rows_d,
+                w2_d, expand,
+            )
+            sel_np = np.asarray(sel)
+            if (sel_np < 0).all():
+                break
+            safe = np.minimum(
+                np.maximum(sel_np, 0), self.neighbors.shape[0] - 1
+            ).reshape(-1)
+            # the host-side "disk read": one contiguous row per expansion
+            nbrs_d = jnp.asarray(
+                np.ascontiguousarray(self.neighbors[safe]).reshape(Q, expand, R)
+            )
+            rows_d = jnp.asarray(
+                np.ascontiguousarray(self.fused_packed[safe]).reshape(
+                    Q, expand, R, mp
+                )
+            )
+            w2_d = jnp.asarray(
+                np.ascontiguousarray(self.fused_w2[safe]).reshape(Q, expand, R)
+            )
+
+        ids, scores = state.ids, state.scores
+        if self.deleted is not None and self.deleted.any():
+            dead = jnp.asarray(self.deleted)[jnp.maximum(ids, 0)] & (ids >= 0)
+            ids = jnp.where(dead, -1, ids)
+            scores = jnp.where(dead, NEG_INF, scores)
+        order = jnp.argsort(-scores, axis=1)
+        k_out = beam_width if rerank is not None else top_k
+        out_ids = jnp.take_along_axis(ids, order, axis=1)[:, :k_out]
+        out_scores = jnp.take_along_axis(scores, order, axis=1)[:, :k_out]
+        approx = SearchResult(
+            ids=out_ids,
+            scores=out_scores,
+            visited_count=state.visited_count,
+            expanded_count=state.expanded_count,
+            reranked_count=jnp.zeros((Q,), jnp.int32),
+            approx_scores=out_scores,
+        )
+        if rerank is not None:
+            return rerank.rerank(jnp.asarray(queries), approx, top_k)
+        return approx._replace(
+            ids=approx.ids[:, :top_k],
+            scores=approx.scores[:, :top_k],
+            approx_scores=approx.scores[:, :top_k],
+        )
+
+
+def write_sq4_index(path, graph, sq, codes_packed, provider, sim, **extra_features):
+    """Persist a graph + fused-SQ4 feature for host-tier serving.
+
+    ``provider`` is the :class:`SQ4ScoreProvider` whose fused tables were
+    built against ``graph.base.neighbors`` (ids must correspond; pass
+    ``renumber=False`` graphs or renumber before building the provider).
+    """
+    from jvector_tpu.disk.format import FeatureId, write_index
+
+    sim = SimilarityFunction.parse(sim)
+    const = (
+        provider.node_norm2 if sim == SimilarityFunction.COSINE else provider.node_w2
+    )
+    feats = {
+        FeatureId.FUSED_SQ4: {
+            "codes_packed": np.asarray(codes_packed),
+            "node_const": np.asarray(const),
+            "fused_packed": np.asarray(provider.fused_packed),
+            "fused_w2": np.asarray(provider.fused_w2),
+            "scale": np.asarray(provider.scale),
+            "offset": np.asarray(provider.offset),
+        }
+    }
+    feats.update(extra_features)
+    write_index(
+        path, graph, features=feats, renumber=False, similarity=sim.value
+    )

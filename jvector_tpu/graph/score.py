@@ -472,7 +472,9 @@ class SQ4ScoreProvider:
     slot (``FusedPQ``/``FusedPQDecoder``) with arithmetic instead of LUTs.
 
     - ``codes_packed [N, D/2]`` uint8 — entry/hierarchy/arbitrary-id scoring
-    - ``fused_packed [N, R, D/2]`` uint8 — neighbors' codes per node row
+    - ``fused_packed [N, R * D/2]`` uint8 — neighbors' codes per node row,
+      kept 2-D: XLA relayouts high-rank uint8 arrays at the jit boundary
+      (a measured 24 ms copy of the 3.6 GB table per search call at 1M)
     - ``fused_w2     [N, R]`` float32 — the neighbors' per-node constant:
       ``sum (a k)^2`` for EUCLIDEAN, ``||dequant||^2`` for COSINE (build it
       from the matching ``node_constants`` column), unused for DOT_PRODUCT
@@ -481,7 +483,7 @@ class SQ4ScoreProvider:
     codes_packed: jax.Array  # [N, MP] uint8
     node_w2: jax.Array  # [N] float32: sum (a k)^2
     node_norm2: jax.Array  # [N] float32: ||dequant||^2
-    fused_packed: jax.Array  # [N, R, MP] uint8
+    fused_packed: jax.Array  # [N, R*MP] uint8 (2-D, see class docstring)
     fused_w2: jax.Array  # [N, R] float32
     scale: jax.Array  # [D_pad] float32
     offset: jax.Array  # [D_pad] float32
@@ -545,11 +547,11 @@ class SQ4ScoreProvider:
 
         u, c0 = qstate
         q = node_ids.shape[0]
-        rows = self.fused_packed[node_ids]  # [Q, (E,) R, MP]
+        mp = self.codes_packed.shape[1]
+        rows = self.fused_packed[node_ids]  # [Q, (E,) R*MP]
         w2 = self.fused_w2[node_ids]  # [Q, (E,) R]
-        if rows.ndim == 4:
-            rows = rows.reshape(q, -1, rows.shape[-1])
-            w2 = w2.reshape(q, -1)
+        rows = rows.reshape(q, -1, mp)  # [Q, E*R, MP]
+        w2 = w2.reshape(q, -1)
         k = unpack_nibble_rows(rows).astype(jnp.float32)  # [Q, E*R, D]
         acc = jnp.einsum("qcd,qd->qc", k, u, preferred_element_type=jnp.float32)
         return self._finish(acc, c0, w2, w2)
@@ -583,12 +585,12 @@ def build_fused_sq4(
 ) -> tuple[jax.Array, jax.Array]:
     """Fused SQ4 layout: neighbors' packed codes + euclidean constants.
 
-    Returns ``(fused_packed [N, R, MP] uint8, fused_w2 [N, R] float32)``;
+    Returns ``(fused_packed [N, R*MP] uint8, fused_w2 [N, R] float32)``;
     -1 padding slots get code 0 / w2 0 (masked by neighbor id at search).
     """
     n, r = neighbors.shape
     mp = codes_packed.shape[1]
-    out = jnp.zeros((n, r, mp), jnp.uint8)
+    out = jnp.zeros((n, r * mp), jnp.uint8)
     out_w2 = jnp.zeros((n, r), jnp.float32)
     for start in range(0, n, chunk):
         blk = neighbors[start : start + chunk]
@@ -596,7 +598,9 @@ def build_fused_sq4(
         ok = blk >= 0
         gathered = jnp.where(ok[..., None], codes_packed[safe], 0)
         w2 = jnp.where(ok, node_w2[safe], 0.0)
-        out = jax.lax.dynamic_update_slice_in_dim(out, gathered, start, axis=0)
+        out = jax.lax.dynamic_update_slice_in_dim(
+            out, gathered.reshape(blk.shape[0], -1), start, axis=0
+        )
         out_w2 = jax.lax.dynamic_update_slice_in_dim(out_w2, w2, start, axis=0)
     return out, out_w2
 
