@@ -40,10 +40,16 @@ from jvector_tpu.ops.similarity import SimilarityFunction
 
 @dataclasses.dataclass
 class CompactionSource:
-    """One input segment: its graph, vectors, and an optional live mask."""
+    """One input segment: its graph, vectors, and an optional live mask.
+
+    ``vectors`` may be a host numpy array (memmap welcome): the PQ-sidecar
+    compaction path (``pq=`` argument of :func:`compact_indexes`) streams
+    them wave-by-wave and never uploads a full source to HBM — the
+    reference compacts 10M x 2560d under ``-Xmx5g`` the same way.
+    """
 
     graph: GraphIndex
-    vectors: jax.Array  # [N_i, D]
+    vectors: jax.Array | np.ndarray  # [N_i, D]
     live: np.ndarray | None = None  # bool [N_i]; None = all live
 
     def live_ids(self) -> np.ndarray:
@@ -57,18 +63,86 @@ class CompactionSource:
         return np.where(live)[0].astype(np.int32)
 
 
+def retrain_pq(
+    sources: list[CompactionSource],
+    live_ids: list[np.ndarray],
+    base_pq,
+    sim: SimilarityFunction,
+    min_per_source: int = 1000,
+    seed: int = 0,
+):
+    """Balanced proportional PQ retraining over the merged corpus.
+
+    Reference: ``PQRetrainer.retrain`` + ``sampleBalanced`` — sample each
+    source proportionally to its live count (>= min_per_source each, total
+    <= MAX_PQ_TRAINING_SET_SIZE), read rows in sorted order (sequential IO
+    on memmaps), train a fresh PQ with the base PQ's M/cluster parameters.
+    """
+    from jvector_tpu.quantization.pq import (
+        MAX_TRAINING_SET_SIZE,
+        ProductQuantization,
+    )
+
+    total = sum(len(x) for x in live_ids)
+    rng = np.random.default_rng(seed)
+    parts = []
+    if total <= MAX_TRAINING_SET_SIZE:
+        picks = live_ids
+    else:
+        picks = []
+        for ids in live_ids:
+            want = max(
+                min(min_per_source, len(ids)),
+                int(round(MAX_TRAINING_SET_SIZE * len(ids) / total)),
+            )
+            want = min(want, len(ids))
+            picks.append(np.sort(rng.choice(ids, size=want, replace=False)))
+    for s, ids in zip(sources, picks):
+        parts.append(np.asarray(s.vectors)[ids])
+    sample = np.concatenate(parts, axis=0)
+    return ProductQuantization.compute(
+        sample,
+        m=base_pq.m,
+        clusters=base_pq.clusters,
+        globally_center=sim == SimilarityFunction.EUCLIDEAN,
+        anisotropic_threshold=base_pq.anisotropic_threshold,
+    )
+
+
 def compact_indexes(
     sources: list[CompactionSource],
     config: GraphConfig | None = None,
     sim: SimilarityFunction | str = SimilarityFunction.EUCLIDEAN,
     per_source_candidates: int = 32,
     wave: int = 256,
-) -> tuple[GraphIndex, ExactScoreProvider, list[np.ndarray]]:
+    pq=None,
+    retrain: bool = True,
+    refine_merged: bool = False,
+) -> tuple[GraphIndex, object, list[np.ndarray]]:
     """Merge N segment indexes into one.
 
     Returns ``(merged_graph, merged_provider, mappers)`` where ``mappers[i]``
     maps source-i old ordinal -> new ordinal (-1 for dead ordinals), the
     reference's ``OrdinalMapper`` contract.
+
+    Two memory modes:
+
+    - ``pq=None`` (exact): all live vectors are uploaded and scoring is
+      full-precision — fine when the merged corpus fits HBM.
+    - ``pq=ProductQuantization`` (the sidecar strategy,
+      ``QuantizationCompactionStrategy``/``SidecarCompactionStrategy``):
+      codebooks are retrained on a balanced proportional sample
+      (``PQRetrainer``, disable with ``retrain=False``), every source is
+      re-encoded (streamed in blocks), and ALL graph scoring — in-source
+      searches, merged-space candidate scores, the diversity prune — runs
+      on codes.  Source ``vectors`` may be host numpy arrays/memmaps; only
+      one wave of query vectors is uploaded at a time, so device memory is
+      bounded by codes + adjacency, never the f32 corpus.  The returned
+      provider is the merged :class:`ADCScoreProvider` (rebuild the PQ via
+      ``ProductQuantization(codebooks=p.codebooks, center=p.center, ...)``).
+
+    ``refine_merged=True`` runs the in-place ``refineCompactedGraph``
+    post-pass (``OnDiskGraphIndexCompactor.java:460-571``) over the output.
     """
     sim = SimilarityFunction.parse(sim)
     config = config or GraphConfig()
@@ -84,21 +158,61 @@ def compact_indexes(
         m[live_ids[i]] = np.arange(len(live_ids[i]), dtype=np.int32) + offsets[i]
         mappers.append(m)
 
-    merged_vectors = jnp.concatenate(
-        [s.vectors[jnp.asarray(ids)] for s, ids in zip(sources, live_ids)], axis=0
-    )
     from jvector_tpu.graph.index import bucket_capacity
 
     n_cap_out = bucket_capacity(total)
-    padded = merged_vectors
-    if n_cap_out > total:
-        padded = jnp.concatenate(
-            [
-                merged_vectors,
-                jnp.zeros((n_cap_out - total, merged_vectors.shape[1]), jnp.float32),
-            ]
+
+    if pq is not None:
+        if retrain:
+            pq = retrain_pq(sources, live_ids, pq, sim)
+        # encode every source in full ordinal space (tombstones stay
+        # traversable during in-source searches) — streamed in blocks
+        src_codes = []
+        for s in sources:
+            n_i = int(s.graph.num_nodes)
+            codes_i = pq.encode(np.asarray(s.vectors[:n_i]))
+            cap_i = s.graph.capacity
+            if cap_i > n_i:
+                codes_i = jnp.concatenate(
+                    [codes_i, jnp.zeros((cap_i - n_i, codes_i.shape[1]), jnp.uint8)]
+                )
+            src_codes.append(codes_i)
+        merged_codes = jnp.concatenate(
+            [codes_i[jnp.asarray(ids)] for codes_i, ids in zip(src_codes, live_ids)]
         )
-    merged_provider = ExactScoreProvider(vectors=padded, sim=sim)
+        if n_cap_out > total:
+            merged_codes = jnp.concatenate(
+                [
+                    merged_codes,
+                    jnp.zeros((n_cap_out - total, merged_codes.shape[1]), jnp.uint8),
+                ]
+            )
+        merged_provider = pq.provider(merged_codes, sim)
+        src_providers = [pq.provider(c, sim) for c in src_codes]
+        merged_vectors = None
+    else:
+        merged_vectors = jnp.concatenate(
+            [
+                jnp.asarray(np.asarray(s.vectors)[ids])
+                for s, ids in zip(sources, live_ids)
+            ],
+            axis=0,
+        )
+        padded = merged_vectors
+        if n_cap_out > total:
+            padded = jnp.concatenate(
+                [
+                    merged_vectors,
+                    jnp.zeros(
+                        (n_cap_out - total, merged_vectors.shape[1]), jnp.float32
+                    ),
+                ]
+            )
+        merged_provider = ExactScoreProvider(vectors=padded, sim=sim)
+        src_providers = [
+            ExactScoreProvider(vectors=jnp.asarray(s.vectors), sim=sim)
+            for s in sources
+        ]
 
     out = empty_graph(n_cap_out, config)
     out_layer = out.base
@@ -106,9 +220,6 @@ def compact_indexes(
     M = config.max_degree
 
     mapper_dev = [jnp.asarray(m) for m in mappers]
-    src_providers = [
-        ExactScoreProvider(vectors=s.vectors, sim=sim) for s in sources
-    ]
 
     # ---- per-source waves ----------------------------------------------------
     for si, s in enumerate(sources):
@@ -120,7 +231,13 @@ def compact_indexes(
             batch_pad = np.concatenate([batch, np.full(pad, -1, np.int32)])
             bdev = jnp.asarray(np.maximum(batch_pad, 0))
             valid = jnp.asarray(batch_pad >= 0)
-            qvecs = s.vectors[bdev]  # [W, D]
+            # one wave of query vectors; host-resident sources upload a slice
+            qvecs = jnp.asarray(
+                np.asarray(s.vectors[np.maximum(batch_pad, 0)])
+                if isinstance(s.vectors, np.ndarray)
+                else s.vectors[bdev],
+                jnp.float32,
+            )  # [W, D]
 
             # same-source: existing neighbors, live-filtered, remapped
             nbrs = s.graph.base.neighbors[bdev]  # [W, R_src]
@@ -200,7 +317,15 @@ def compact_indexes(
             )
 
     # ---- entry + hierarchy ----------------------------------------------------
-    centroid = jnp.mean(merged_vectors, axis=0, keepdims=True)
+    if merged_vectors is not None:
+        centroid = jnp.mean(merged_vectors, axis=0, keepdims=True)
+    else:
+        # streamed centroid: accumulate per-source sums on host
+        acc = None
+        for s, ids in zip(sources, live_ids):
+            v = np.asarray(s.vectors)[ids]
+            acc = v.sum(axis=0) if acc is None else acc + v.sum(axis=0)
+        centroid = jnp.asarray((acc / max(total, 1))[None, :], jnp.float32)
     qstate = merged_provider.prepare(centroid)
     entry = jnp.argmax(
         merged_provider.score(qstate, jnp.arange(total, dtype=jnp.int32)[None, :])[0]
@@ -213,7 +338,27 @@ def compact_indexes(
         num_nodes=jnp.int32(total),
         deleted=jnp.zeros((n_cap_out,), bool),
     )
+    if refine_merged:
+        from jvector_tpu.graph.builder import refine_graph
+
+        if merged_vectors is not None:
+            refine_vecs = merged_vectors
+        else:
+            refine_vecs = np.concatenate(
+                [np.asarray(s.vectors)[ids] for s, ids in zip(sources, live_ids)]
+            )
+        merged = refine_graph(
+            merged, merged_provider, refine_vecs, config,
+            chunk=min(1024, n_cap_out),
+        )
     if config.add_hierarchy:
+        if merged_vectors is None:
+            merged_vectors = jnp.concatenate(
+                [
+                    jnp.asarray(np.asarray(s.vectors)[ids])
+                    for s, ids in zip(sources, live_ids)
+                ]
+            )
         merged = GraphIndexBuilder(config).build_hierarchy(
             merged, merged_vectors, sim
         )

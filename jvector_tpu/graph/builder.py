@@ -368,7 +368,7 @@ class GraphIndexBuilder:
 def _refine_chunk(
     graph: GraphIndex,
     provider,
-    vectors: jax.Array,
+    qvecs: jax.Array,  # [chunk, D] the chunk's own vectors (pre-sliced)
     start: jax.Array,
     config: GraphConfig,
     chunk: int,
@@ -385,7 +385,6 @@ def _refine_chunk(
     safe_rows = jnp.minimum(rows, N_cap - 1)
     valid_row = (rows < graph.num_nodes) & ~graph.deleted[safe_rows]
 
-    qvecs = vectors[jnp.minimum(safe_rows, vectors.shape[0] - 1)]
     qstate = provider.prepare(qvecs)
     entries = jnp.where(valid_row, graph.entry_node, -1).astype(jnp.int32)
     beam = search_layer(
@@ -473,13 +472,24 @@ def _rescore_chunk(
 def refine_graph(
     graph: GraphIndex,
     provider,
-    vectors: jax.Array,
+    vectors: jax.Array | np.ndarray,
     config: GraphConfig,
     chunk: int = 1024,
 ) -> GraphIndex:
-    """Full refineFinalGraph pass over the base layer."""
+    """Full refineFinalGraph pass over the base layer.
+
+    ``vectors`` may be a host numpy array (memmap welcome): only one chunk
+    is uploaded per step, so the pass runs with bounded device memory.
+    """
+    n_vec = vectors.shape[0]
     for start in range(0, graph.capacity, chunk):
-        graph = _refine_chunk(graph, provider, vectors, jnp.int32(start), config, chunk)
+        rows = np.minimum(np.arange(start, start + chunk), n_vec - 1)
+        qvecs = jnp.asarray(np.asarray(vectors[rows]) if isinstance(
+            vectors, np.ndarray
+        ) else vectors[jnp.asarray(rows)], jnp.float32)
+        graph = _refine_chunk(
+            graph, provider, qvecs, jnp.int32(start), config, chunk
+        )
     return graph
 
 

@@ -177,12 +177,19 @@ class ProductQuantization:
         Anisotropic encoding materializes two ``[B, M, K]`` float32 residual
         tables per block, so its block size is capped to bound device memory.
         """
-        vectors = jnp.asarray(vectors, jnp.float32)
         if self.anisotropic_threshold > 0:
             block = min(block, max(1024, (1 << 27) // (self.m * self.clusters)))
+        # numpy inputs (incl. memmaps) stay on host; one block uploads at a
+        # time, so encoding never needs the full f32 corpus in device memory
+        host = isinstance(vectors, np.ndarray)
+        if not host:
+            vectors = jnp.asarray(vectors, jnp.float32)
         outs = []
         for i in range(0, vectors.shape[0], block):
-            outs.append(self._encode_block(vectors[i : i + block]))
+            blk = vectors[i : i + block]
+            if host:
+                blk = jnp.asarray(np.asarray(blk), jnp.float32)
+            outs.append(self._encode_block(blk))
         return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
     @partial(jax.jit, static_argnames=())

@@ -67,3 +67,51 @@ def test_compaction_drops_deleted(setup):
     assert (mappers[0][:100] == -1).all()
     res = search(merged, provider, jnp.asarray(ds.queries), top_k=10, beam_width=40)
     assert (np.asarray(res.ids) < 2300).all()
+
+
+def test_pq_sidecar_compaction_bounded_memory(setup):
+    """PQ-mode compaction: host numpy sources, retrained sidecar, all graph
+    scoring on codes; recall (with exact rerank) within a few points of the
+    exact-mode merge (reference sidecar strategy + PQRetrainer)."""
+    from jvector_tpu.graph import ExactScoreProvider
+    from jvector_tpu.graph.score import ADCScoreProvider
+    from jvector_tpu.quantization import ProductQuantization
+
+    ds, cfg, sources, splits = setup
+    # sources hold HOST vectors (the bounded-memory contract)
+    host_sources = [
+        CompactionSource(graph=s.graph, vectors=np.asarray(s.vectors))
+        for s in sources
+    ]
+    base_pq = ProductQuantization.compute(
+        np.asarray(ds.base[: splits[0][1]]), m=12, clusters=32
+    )
+    merged, provider, mappers = compact_indexes(
+        host_sources, cfg, ds.similarity, pq=base_pq, refine_merged=True
+    )
+    assert isinstance(provider, ADCScoreProvider)
+    assert int(merged.num_nodes) == 2400
+
+    # retrain actually produced different codebooks than the base
+    assert not np.allclose(
+        np.asarray(provider.codebooks), np.asarray(base_pq.codebooks)
+    )
+
+    new_of_old = np.full(2400, -1, np.int32)
+    for (a, b), m in zip(splits, mappers):
+        new_of_old[a:b] = m
+    order = np.argsort(new_of_old)
+    merged_vecs = ds.base[order]  # new-ordinal order
+    exact = ExactScoreProvider(vectors=jnp.asarray(merged_vecs), sim=ds.similarity)
+
+    res = search(
+        merged, provider, jnp.asarray(ds.queries), top_k=10, beam_width=40,
+        rerank_k=40, reranker=exact,
+    )
+    gt_new = new_of_old[ds.ground_truth[:, :10]]
+    r = recall_at_k(np.asarray(res.ids), gt_new, 10)
+
+    merged_e, prov_e, mappers_e = compact_indexes(sources, cfg, ds.similarity)
+    res_e = search(merged_e, prov_e, jnp.asarray(ds.queries), top_k=10, beam_width=40)
+    r_exact = recall_at_k(np.asarray(res_e.ids), gt_new, 10)
+    assert r >= r_exact - 0.05, f"pq-mode {r} vs exact-mode {r_exact}"
