@@ -152,9 +152,19 @@ class Grid:
         from jvector_tpu.graph import search
         import jax.numpy as jnp
 
+        from jvector_tpu.bench.diagnostics import run_metadata
+
         ds = self.dataset
         queries = jnp.asarray(ds.queries)
         cfg = self.config
+        # run provenance on every row (reference GitInfo / SysInfoWriter)
+        meta = run_metadata(config=dataclasses.asdict(cfg))
+        provenance = {
+            k: meta[k]
+            for k in ("git_sha", "git_dirty", "device", "jax_version",
+                      "timestamp", "config_hash")
+            if k in meta
+        }
         for od, efc, ov, hier, refine, comp, rr in itertools.product(
             cfg.out_degree,
             cfg.ef_construction,
@@ -238,6 +248,7 @@ class Grid:
                         "mean_visited": round(float(np.mean(np.concatenate(visited))), 1),
                         "index_build_time_s": round(build_s, 2),
                         "quant_time_s": round(quant_s + rerank_quant_s, 2),
+                        **provenance,
                     }
                     self.rows.append(row)
                     if verbose:

@@ -147,3 +147,30 @@ def test_pq_feature_roundtrip(tmp_path, built):
         rerank_k=40, reranker=exact,
     )
     assert recall_at_k(np.asarray(res.ids), ds.ground_truth, 10) >= 0.9
+
+
+def test_v1_frozen_fixture_reads():
+    """Format back-compat enforcement (reference TestOnDiskGraphIndex
+    testV0Read): a byte-frozen v1 file committed to the repo must keep
+    loading with identical contents in every future version."""
+    import pathlib
+
+    from jvector_tpu.disk.format import VERSION, load_index
+
+    fix = pathlib.Path(__file__).parent / "fixtures"
+    idx = load_index(fix / "v1_frozen.jvtpu")
+    assert idx.meta["version"] == 1 if "version" in idx.meta else True
+    assert VERSION >= 1
+    expect = np.load(fix / "v1_frozen_expect.npz")
+    graph, feats = idx.to_device()
+    assert int(graph.entry_node) == 3
+    assert int(graph.num_nodes) == 32
+    np.testing.assert_array_equal(
+        np.asarray(graph.base.neighbors), expect["neighbors"]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(feats["inline_vectors"]["vectors"]), expect["vectors"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(graph.base.scores), expect["scores"], rtol=1e-7
+    )
