@@ -53,14 +53,27 @@ def _pairwise_from_provider(provider, ids: jax.Array) -> jax.Array:
     return provider.pairwise(safe, safe)
 
 
-@partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
-def _insert_wave(
+def _insert_wave_impl(
     graph: GraphIndex,
     provider,
     wave_ids: jax.Array,  # int32 [W], -1 padded on the ragged final wave
     wave_vectors: jax.Array,  # float32 [W, D] full-res vectors being inserted
     config: GraphConfig,
-) -> GraphIndex:
+    return_updates: bool = False,
+    prune_provider=None,
+):
+    """One wave insert; returns ``(graph, updates)``.
+
+    ``prune_provider`` (default: ``provider``) scores the intra-wave pairs
+    and the diversity prune — the SQ4-accelerated build searches on codes
+    but prunes full-precision so graph quality matches the exact build.
+
+    With ``return_updates=True`` the adjacency mutations (wave rows,
+    backlink slots, overflow re-prunes) are also returned so the caller can
+    mirror them into fused neighbor-code tables (see ``_apply_fused``);
+    applying those in a separate donated jit keeps the multi-GB tables
+    updating in place instead of being copied by every scatter.
+    """
     W = wave_ids.shape[0]
     layer = graph.base
     N_cap, R_cap = layer.neighbors.shape
@@ -68,6 +81,8 @@ def _insert_wave(
     ef = config.ef_construction
     wave_valid = wave_ids >= 0
     safe_wave = jnp.where(wave_valid, wave_ids, 0)
+    if prune_provider is None:
+        prune_provider = provider
 
     qstate = provider.prepare(wave_vectors)
 
@@ -86,8 +101,9 @@ def _insert_wave(
     )
 
     # -- 2. intra-wave candidates (replaces insertionsInProgress) --------
-    wave_pair_scores = provider.score(
-        qstate, jnp.broadcast_to(safe_wave[None, :], (W, W))
+    wave_pair_scores = prune_provider.score(
+        prune_provider.prepare(wave_vectors),
+        jnp.broadcast_to(safe_wave[None, :], (W, W)),
     )  # [W, W] score of query i vs wave node j
     self_mask = jnp.eye(W, dtype=bool)
     intra_valid = wave_valid[None, :] & wave_valid[:, None] & ~self_mask
@@ -102,7 +118,7 @@ def _insert_wave(
     cand_ids = cand_ids[:, :ef]
     cand_scores = cand_scores[:, :ef]
 
-    simmat = _pairwise_from_provider(provider, cand_ids)
+    simmat = _pairwise_from_provider(prune_provider, cand_ids)
     sel_ids, sel_scores, sel_count = robust_prune(
         cand_ids, cand_scores, simmat, M, config.alphas
     )  # [W, M]
@@ -172,7 +188,7 @@ def _insert_wave(
     )
     e_scores_m = jnp.where(e_ids_m >= 0, e_scores, NEG_INF)
     e_ids_s, e_scores_s = dedup_sorted_desc(e_ids_m, e_scores_m)
-    e_sim = _pairwise_from_provider(provider, e_ids_s)
+    e_sim = _pairwise_from_provider(prune_provider, e_ids_s)
     p_ids, p_scores, p_count = robust_prune(
         e_ids_s, e_scores_s, e_sim, M, config.alphas
     )
@@ -186,6 +202,17 @@ def _insert_wave(
     neighbors = neighbors.at[er].set(p_row_ids, mode="drop")
     scores = scores.at[er].set(p_row_scores, mode="drop")
     counts = counts.at[er].set(p_count, mode="drop")
+    updates = None
+    if return_updates:
+        updates = dict(
+            wave_rows=scatter_rows,
+            wave_row_ids=row_ids,
+            bl_t=scatter_t,
+            bl_slot=scatter_slot,
+            bl_src=s_sorted,
+            enforce_rows=er,
+            enforce_row_ids=p_row_ids,
+        )
 
     # -- bookkeeping --------------------------------------------------------
     n_new = jnp.sum(wave_valid).astype(jnp.int32)
@@ -199,7 +226,65 @@ def _insert_wave(
         entry_node=entry,
         num_nodes=graph.num_nodes + n_new,
         deleted=graph.deleted,
+    ), updates
+
+
+@partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
+def _insert_wave(graph, provider, wave_ids, wave_vectors, config):
+    """Wave insert, graph donated (callers keeping their graph pass copies)."""
+    g, _ = _insert_wave_impl(graph, provider, wave_ids, wave_vectors, config)
+    return g
+
+
+@partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
+def _insert_wave_sq4(graph, provider, prune_provider, wave_ids, wave_vectors, config):
+    """Wave insert searching on SQ4 codes, pruning full-precision.
+
+    Returns ``(graph, updates)``; the caller mirrors ``updates`` into the
+    provider's fused tables with :func:`_apply_fused` (separate jit so the
+    multi-GB tables alias in place via donation).
+    """
+    return _insert_wave_impl(
+        graph, provider, wave_ids, wave_vectors, config,
+        return_updates=True, prune_provider=prune_provider,
     )
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _apply_fused(fused_packed, fused_w2, codes_packed, node_const, updates):
+    """Mirror one wave's adjacency mutations into the fused SQ4 tables.
+
+    Runs as its own jit with BOTH tables donated: each scatter's operand has
+    no other consumer, so XLA updates the (3.6 GB at 1M) buffers in place —
+    inside the wave jit the same scatters forced full copies.
+    """
+    n_cap = fused_packed.shape[0]
+    r_cap = fused_w2.shape[1]
+    mp = codes_packed.shape[1]
+    fused3 = fused_packed.reshape(n_cap, r_cap, mp)
+
+    def rows_for(row_ids):
+        ok = row_ids >= 0
+        safe = jnp.maximum(row_ids, 0)
+        return (
+            jnp.where(ok[..., None], codes_packed[safe], 0),
+            jnp.where(ok, node_const[safe], 0.0),
+        )
+
+    fc, fw = rows_for(updates["wave_row_ids"])
+    fused3 = fused3.at[updates["wave_rows"]].set(fc, mode="drop")
+    fused_w2 = fused_w2.at[updates["wave_rows"]].set(fw, mode="drop")
+    src = jnp.maximum(updates["bl_src"], 0)
+    fused3 = fused3.at[updates["bl_t"], updates["bl_slot"]].set(
+        codes_packed[src], mode="drop"
+    )
+    fused_w2 = fused_w2.at[updates["bl_t"], updates["bl_slot"]].set(
+        node_const[src], mode="drop"
+    )
+    fc, fw = rows_for(updates["enforce_row_ids"])
+    fused3 = fused3.at[updates["enforce_rows"]].set(fc, mode="drop")
+    fused_w2 = fused_w2.at[updates["enforce_rows"]].set(fw, mode="drop")
+    return fused3.reshape(n_cap, r_cap * mp), fused_w2
 
 
 @partial(jax.jit, static_argnames=("config", "chunk"), donate_argnums=(0,))
@@ -279,19 +364,73 @@ class GraphIndexBuilder:
                     [vectors, jnp.zeros((n_cap - n, d), jnp.float32)], axis=0
                 )
             provider = ExactScoreProvider(vectors=pv, sim=sim)
+            build_provider = (
+                self._sq4_build_provider(vectors, n_cap, sim)
+                if cfg.build_compression == "sq4"
+                else None
+            )
+            if build_provider is not None:
+                node_const = (
+                    build_provider.node_norm2
+                    if sim == SimilarityFunction.COSINE
+                    else build_provider.node_w2
+                )
+        else:
+            build_provider = None  # explicit providers are used as-is
         graph = empty_graph(n_cap, cfg)
 
         for start in range(0, n, w):
             ids = np.arange(start, start + w, dtype=np.int32)
             ids = np.where(ids < n, ids, -1)
             wv = vectors[jnp.minimum(jnp.asarray(ids), n - 1)]
-            graph = _insert_wave(graph, provider, jnp.asarray(ids), wv, cfg)
+            if build_provider is not None:
+                graph, updates = _insert_wave_sq4(
+                    graph, build_provider, provider, jnp.asarray(ids), wv, cfg
+                )
+                fp, fw = _apply_fused(
+                    build_provider.fused_packed,
+                    build_provider.fused_w2,
+                    build_provider.codes_packed,
+                    node_const,
+                    updates,
+                )
+                build_provider = dataclasses.replace(
+                    build_provider, fused_packed=fp, fused_w2=fw
+                )
+            else:
+                graph = _insert_wave(graph, provider, jnp.asarray(ids), wv, cfg)
 
         if cleanup:
             graph = self.cleanup(graph, provider, vectors)
         if cfg.add_hierarchy:
             graph = self.build_hierarchy(graph, vectors, sim)
         return graph, provider
+
+    def _sq4_build_provider(self, vectors: jax.Array, n_cap: int, sim):
+        """SQ4 provider with zeroed fused tables sized to the build capacity."""
+        from jvector_tpu.graph.score import SQ4ScoreProvider
+        from jvector_tpu.quantization.sq import ScalarQuantization4
+
+        n = vectors.shape[0]
+        sq = ScalarQuantization4.compute(np.asarray(vectors[:131_072]))
+        codes = sq.encode(vectors)
+        if n_cap > n:
+            codes = jnp.concatenate(
+                [codes, jnp.zeros((n_cap - n, codes.shape[1]), jnp.uint8)]
+            )
+        w2, norm2 = sq.node_constants(codes)
+        mp = codes.shape[1]
+        r_cap = self.config.row_cap
+        return SQ4ScoreProvider(
+            codes_packed=codes,
+            node_w2=w2,
+            node_norm2=norm2,
+            fused_packed=jnp.zeros((n_cap, r_cap * mp), jnp.uint8),
+            fused_w2=jnp.zeros((n_cap, r_cap), jnp.float32),
+            scale=sq.scale,
+            offset=sq.offset,
+            sim=sim,
+        )
 
     def build_hierarchy(
         self,

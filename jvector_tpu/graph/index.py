@@ -12,9 +12,9 @@ view).  On TPU a layer is a dense rectangle:
 - ``counts: int32[N_cap]`` — live entries per row.
 
 Rows keep the invariant that entries are unique, score-sorted descending, and
-padded with (-1, -inf).  Uniqueness is load-bearing: the searcher's packed
-visited bitset uses scatter-add to set bits, which is exact only when the
-ids gathered in one expansion step are distinct.
+padded with (-1, -inf).  Uniqueness keeps the searcher's compare-based dedup
+and the builder's backlink collision handling exact, and the fused
+neighbor-code tables (one code block per row slot) unambiguous.
 
 Hierarchy (the optional HNSW-style levels, ``OnHeapGraphIndex.java:86-101``)
 is a list of such layers over progressively fewer nodes; level l>0 stores a
@@ -57,6 +57,12 @@ class GraphConfig:
     # Beam expansions per iteration during build searches (trades a few
     # extra scored edges for proportionally fewer sequential loop steps).
     build_expand: int = 1
+    # First-pass compression for build-time beam searches: "sq4" runs them
+    # on the fused 4-bit path with incrementally maintained fused tables
+    # (one row gather per expansion instead of one per candidate); the
+    # diversity prune stays full-precision, so the built graph's recall
+    # matches or beats the exact build.  None searches full-precision.
+    build_compression: str | None = None
 
     @property
     def overflow_degree(self) -> int:

@@ -182,29 +182,30 @@ class ADCScoreProvider:
         return jnp.concatenate(parts, axis=-1)
 
     def score_nodes(self, node_ids: jax.Array, ids: jax.Array) -> jax.Array:
-        """Node-to-node via decoded origin vs compressed candidates.
+        """Node-to-node code-to-code scores: node_ids ``[B]``, ids ``[B, R]``.
 
-        Reference: ``PQVectors.diversityFunctionFor`` scores code-to-code via
-        codebooks; decoding the origin then running ADC is the same math.
+        Reference: ``PQVectors.diversityFunctionFor`` +
+        ``createCodebookPartialSums`` (``ProductQuantization.java:609-628``)
+        make PQ-PQ compares O(M) centroid-pair lookups.  Because subspaces
+        are independent, ``sum_m measure(c_a_m, c_b_m)`` equals the measure
+        between the DECODED vectors, so on TPU the table lookup becomes one
+        MXU matmul over decoded rows — same math, no gathers.
         """
-        origins = self.decode_centered(node_ids)  # centered space
-        if self.sim == SimilarityFunction.COSINE:
-            n = jnp.sqrt(jnp.sum(origins * origins, axis=-1, keepdims=True))
-            origins = origins / jnp.maximum(n, 1e-30)
-            luts = build_partial_sums(origins, self.codebooks, SimilarityFunction.DOT_PRODUCT)
-        else:
-            luts = build_partial_sums(origins, self.codebooks, self.sim)
-        return self.score(luts, ids)
+        from jvector_tpu.ops.similarity import pairwise_raw
+
+        a = self.decode_centered(node_ids)[:, None, :]  # [B, 1, D]
+        b = self.decode_centered(ids)  # [B, R, D]
+        raw = pairwise_raw(a, b, self.sim)[:, 0, :]
+        return normalize_score(raw, self.sim)
 
     def pairwise(self, ids_a: jax.Array, ids_b: jax.Array) -> jax.Array:
-        """Batched all-pairs over compressed codes (decode a, ADC against b)."""
-        B, Ca = ids_a.shape
-        Cb = ids_b.shape[1]
-        flat_luts_scores = self.score_nodes(
-            ids_a.reshape(-1),
-            jnp.broadcast_to(ids_b[:, None], (B, Ca, Cb)).reshape(B * Ca, Cb),
-        )
-        return flat_luts_scores.reshape(B, Ca, Cb)
+        """Batched all-pairs code-to-code (decode both sides + MXU matmul)."""
+        from jvector_tpu.ops.similarity import pairwise_raw
+
+        a = self.decode_centered(ids_a)  # [B, Ca, D]
+        b = self.decode_centered(ids_b)  # [B, Cb, D]
+        raw = pairwise_raw(a, b, self.sim)
+        return normalize_score(raw, self.sim)
 
 
 @partial(
