@@ -236,28 +236,8 @@ def _insert_wave(graph, provider, wave_ids, wave_vectors, config):
     return g
 
 
-@partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
-def _insert_wave_sq4(graph, provider, prune_provider, wave_ids, wave_vectors, config):
-    """Wave insert searching on SQ4 codes, pruning full-precision.
-
-    Returns ``(graph, updates)``; the caller mirrors ``updates`` into the
-    provider's fused tables with :func:`_apply_fused` (separate jit so the
-    multi-GB tables alias in place via donation).
-    """
-    return _insert_wave_impl(
-        graph, provider, wave_ids, wave_vectors, config,
-        return_updates=True, prune_provider=prune_provider,
-    )
-
-
-@partial(jax.jit, donate_argnums=(0, 1))
-def _apply_fused(fused_packed, fused_w2, codes_packed, node_const, updates):
-    """Mirror one wave's adjacency mutations into the fused SQ4 tables.
-
-    Runs as its own jit with BOTH tables donated: each scatter's operand has
-    no other consumer, so XLA updates the (3.6 GB at 1M) buffers in place —
-    inside the wave jit the same scatters forced full copies.
-    """
+def _apply_fused_updates(fused_packed, fused_w2, codes_packed, node_const, updates):
+    """Mirror one wave's adjacency mutations into the fused SQ4 tables."""
     n_cap = fused_packed.shape[0]
     r_cap = fused_w2.shape[1]
     mp = codes_packed.shape[1]
@@ -285,6 +265,52 @@ def _apply_fused(fused_packed, fused_w2, codes_packed, node_const, updates):
     fused3 = fused3.at[updates["enforce_rows"]].set(fc, mode="drop")
     fused_w2 = fused_w2.at[updates["enforce_rows"]].set(fw, mode="drop")
     return fused3.reshape(n_cap, r_cap * mp), fused_w2
+
+
+def _empty_updates(w: int, m: int, r_cap: int, n_cap: int):
+    """No-op update payload (every index lands in drop territory)."""
+    return dict(
+        wave_rows=jnp.full((w,), n_cap, jnp.int32),
+        wave_row_ids=jnp.full((w, r_cap), -1, jnp.int32),
+        bl_t=jnp.full((w * m,), n_cap, jnp.int32),
+        bl_slot=jnp.zeros((w * m,), jnp.int32),
+        bl_src=jnp.full((w * m,), -1, jnp.int32),
+        enforce_rows=jnp.full((w,), n_cap, jnp.int32),
+        enforce_row_ids=jnp.full((w, r_cap), -1, jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=("config",), donate_argnums=(0, 1))
+def _insert_wave_sq4(
+    graph, provider, prune_provider, wave_ids, wave_vectors, prev_updates, config
+):
+    """Wave insert searching on SQ4 codes, pruning full-precision.
+
+    The PREVIOUS wave's fused-table updates are applied first, as the very
+    first ops of this jit: a donated buffer written before any read aliases
+    in place, whereas applying updates in a separate dispatch found the
+    table still pinned by this (in-flight, asynchronously dispatched) wave
+    and silently copied 1.5 GB per scatter.  The fused view the beam search
+    sees therefore trails the adjacency by exactly the updates passed in —
+    which the caller makes the previous wave's, i.e. no trailing at all.
+
+    Returns ``(graph, provider, updates)`` with graph + provider donated.
+    """
+    fp, fw = _apply_fused_updates(
+        provider.fused_packed,
+        provider.fused_w2,
+        provider.codes_packed,
+        provider.node_norm2
+        if provider.sim == SimilarityFunction.COSINE
+        else provider.node_w2,
+        prev_updates,
+    )
+    provider = dataclasses.replace(provider, fused_packed=fp, fused_w2=fw)
+    graph, updates = _insert_wave_impl(
+        graph, provider, wave_ids, wave_vectors, config,
+        return_updates=True, prune_provider=prune_provider,
+    )
+    return graph, provider, updates
 
 
 @partial(jax.jit, static_argnames=("config", "chunk"), donate_argnums=(0,))
@@ -370,10 +396,8 @@ class GraphIndexBuilder:
                 else None
             )
             if build_provider is not None:
-                node_const = (
-                    build_provider.node_norm2
-                    if sim == SimilarityFunction.COSINE
-                    else build_provider.node_w2
+                pending = _empty_updates(
+                    w, cfg.max_degree, cfg.row_cap, n_cap
                 )
         else:
             build_provider = None  # explicit providers are used as-is
@@ -384,18 +408,9 @@ class GraphIndexBuilder:
             ids = np.where(ids < n, ids, -1)
             wv = vectors[jnp.minimum(jnp.asarray(ids), n - 1)]
             if build_provider is not None:
-                graph, updates = _insert_wave_sq4(
-                    graph, build_provider, provider, jnp.asarray(ids), wv, cfg
-                )
-                fp, fw = _apply_fused(
-                    build_provider.fused_packed,
-                    build_provider.fused_w2,
-                    build_provider.codes_packed,
-                    node_const,
-                    updates,
-                )
-                build_provider = dataclasses.replace(
-                    build_provider, fused_packed=fp, fused_w2=fw
+                graph, build_provider, pending = _insert_wave_sq4(
+                    graph, build_provider, provider, jnp.asarray(ids), wv,
+                    pending, cfg,
                 )
             else:
                 graph = _insert_wave(graph, provider, jnp.asarray(ids), wv, cfg)

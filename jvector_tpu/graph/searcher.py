@@ -147,7 +147,7 @@ def search_layer(
     history_len: int | None = None,
     unroll: int = 1,
     stop_threshold: float = 0.0,
-    stop_patience: int = 24,
+    stop_patience: int = 32,
     init_state: BeamState | None = None,
 ) -> BeamState:
     """Run beam search to quiescence on one adjacency layer.
@@ -160,7 +160,11 @@ def search_layer(
     ``ScoreTracker.java:27-90``): a query whose best freshly-scored
     candidate has stayed below the threshold for ``stop_patience``
     consecutive iterations is retired (its beam is frozen) — past the
-    query's neighborhood, scores only keep falling.
+    query's neighborhood, scores only keep falling.  The default of 32 is
+    characterized across euclidean/dot/cosine corpora (d=24-64): it is the
+    smallest value with 100% retention of above-threshold results, saving
+    34-38% of expansions; 24 retains 97.8-100%, 16 saves ~62% at 97.8-100%
+    (see tests/test_search_api.py::test_threshold_patience_retention).
     """
     N, R = graph_neighbors.shape
     L = beam_width

@@ -126,3 +126,51 @@ def test_expand_per_iter_recall_parity(built):
         10,
     )
     assert r4 >= r1 - 0.02, f"multi-expansion hurt recall: {r1} -> {r4}"
+
+
+@pytest.mark.parametrize(
+    "dim,sim,seed", [(24, "euclidean", 11), (48, "dot_product", 12)]
+)
+def test_threshold_patience_retention(dim, sim, seed):
+    """Characterize the patience retirement (ScoreTracker analog) across
+    corpora: with the default stop_patience, a threshold search must retain
+    >=99% of the results an unlimited-patience search returns, while
+    expanding measurably less."""
+    from jvector_tpu.graph.searcher import search_layer
+
+    ds = synthetic_dataset(n=2000, dim=dim, n_queries=40, k=20, sim=sim, seed=seed)
+    cfg = GraphConfig(max_degree=16, ef_construction=40, wave_size=128)
+    graph, provider = build_graph(ds.base, ds.similarity, cfg)
+    q = jnp.asarray(ds.queries)
+    base_res = search(graph, provider, q, top_k=20, beam_width=60)
+    thr = float(np.quantile(np.asarray(base_res.scores), 0.5))
+
+    qstate = provider.prepare(q)
+    entries = jnp.broadcast_to(graph.entry_node[None], (40,)).astype(jnp.int32)
+
+    def run(patience):
+        return search_layer(
+            graph.base.neighbors, provider, qstate, entries,
+            beam_width=60, stop_threshold=thr, stop_patience=patience,
+        )
+
+    unlimited = run(10_000)
+    default = run(32)
+
+    def above(state):
+        ids = np.asarray(state.ids)
+        sc = np.asarray(state.scores)
+        return [
+            set(ids[i][(sc[i] >= thr) & (ids[i] >= 0)].tolist())
+            for i in range(ids.shape[0])
+        ]
+
+    full, got = above(unlimited), above(default)
+    total = sum(len(s) for s in full)
+    kept = sum(len(f & g) for f, g in zip(full, got))
+    retention = kept / max(total, 1)
+    assert retention >= 0.99, f"retention {retention} at patience 32 ({sim}, d={dim})"
+    saved = 1 - float(np.mean(np.asarray(default.expanded_count))) / float(
+        np.mean(np.asarray(unlimited.expanded_count))
+    )
+    assert saved > 0.2, f"patience saved only {saved:.2%} expansions"

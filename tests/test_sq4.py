@@ -95,3 +95,29 @@ def test_sq4_fused_search_recall():
         )
         r = recall_at_k(np.asarray(res.ids), gt, 10)
         assert r >= 0.95, f"SQ4 fused E={e} recall {r}"
+
+
+def test_sq4_accelerated_build_recall():
+    """build_compression='sq4' (fused code searches + exact prune) must
+    match the exact build's recall."""
+    from jvector_tpu.graph import GraphConfig, build_graph, search
+    from jvector_tpu.util.datasets import exact_ground_truth, recall_at_k
+
+    rng = np.random.default_rng(9)
+    n, d = 3000, 64
+    centers = rng.normal(size=(20, d)).astype(np.float32) * 3
+    base = centers[rng.integers(0, 20, n)] + rng.normal(size=(n, d)).astype(
+        np.float32
+    )
+    queries = centers[rng.integers(0, 20, 64)] + rng.normal(
+        size=(64, d)
+    ).astype(np.float32)
+    gt = exact_ground_truth(base, queries, 10)
+
+    recalls = {}
+    for mode in ("sq4", None):
+        cfg = GraphConfig(max_degree=16, build_compression=mode)
+        graph, exact = build_graph(base, "euclidean", cfg)
+        res = search(graph, exact, jnp.asarray(queries), top_k=10, beam_width=40)
+        recalls[mode] = recall_at_k(np.asarray(res.ids), gt, 10)
+    assert recalls["sq4"] >= recalls[None] - 0.02, recalls
