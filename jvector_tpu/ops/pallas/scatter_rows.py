@@ -1,0 +1,181 @@
+"""Guaranteed-in-place row scatter (Pallas custom call with aliasing).
+
+XLA's ``.at[rows].set(...)`` scatter is only *sometimes* lowered in place:
+donated buffers that are also captured by a ``while_loop`` in the same
+program get defensively copied — measured as 1.5 GB copies per scatter on
+the build's fused SQ4 tables.  A Pallas call with ``input_output_aliases``
+is a hard aliasing constraint the compiler must honor, so this kernel is
+the primitive for "update K-byte rows of a huge HBM table in place": each
+row update is one HBM->HBM DMA, issued back-to-back and drained at the end.
+
+Rows with index < 0 or >= N are dropped (the ``mode="drop"`` contract).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _scatter_kernel(n_rows: int):
+    def kernel(idx_ref, payload_ref, table_ref, out_ref, sem):
+        b = payload_ref.shape[0]
+
+        def issue(i, started):
+            r = idx_ref[i]
+            ok = (r >= 0) & (r < n_rows)
+
+            def do():
+                pltpu.make_async_copy(
+                    payload_ref.at[i], out_ref.at[r], sem
+                ).start()
+                return started + 1
+
+            return jax.lax.cond(ok, do, lambda: started)
+
+        started = jax.lax.fori_loop(0, b, issue, jnp.int32(0))
+
+        def drain(i, _):
+            pltpu.make_async_copy(
+                payload_ref.at[0], out_ref.at[0], sem
+            ).wait()
+            return 0
+
+        jax.lax.fori_loop(0, started, drain, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
+def scatter_rows_inplace(
+    table: jax.Array,  # [N, K]
+    idx: jax.Array,  # [B] int32
+    payload: jax.Array,  # [B, K] same dtype as table
+    interpret: bool = False,
+) -> jax.Array:
+    """Write ``payload[i]`` into ``table[idx[i]]`` in place; drop bad rows."""
+    n, k = table.shape
+    return pl.pallas_call(
+        _scatter_kernel(n),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),  # payload
+                pl.BlockSpec(memory_space=pltpu.HBM),  # table (aliased)
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+            scratch_shapes=[pltpu.SemaphoreType.DMA(())],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, k), table.dtype),
+        input_output_aliases={2: 0},  # table input buffer IS the output
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(idx, payload, table)
+
+
+def _scatter_slots_kernel(n_rows: int, kp: int):
+    def kernel(idx_ref, off_ref, payload_ref, table_ref, out_ref, sem):
+        b = payload_ref.shape[0]
+
+        def issue(i, started):
+            r = idx_ref[i]
+            o = off_ref[i]
+            ok = (r >= 0) & (r < n_rows)
+
+            def do():
+                pltpu.make_async_copy(
+                    payload_ref.at[i], out_ref.at[r, pl.ds(o, kp)], sem
+                ).start()
+                return started + 1
+
+            return jax.lax.cond(ok, do, lambda: started)
+
+        started = jax.lax.fori_loop(0, b, issue, jnp.int32(0))
+
+        def drain(i, _):
+            pltpu.make_async_copy(
+                payload_ref.at[0], out_ref.at[0, pl.ds(0, kp)], sem
+            ).wait()
+            return 0
+
+        jax.lax.fori_loop(0, started, drain, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
+def scatter_slots_inplace(
+    table: jax.Array,  # [N, K]
+    idx: jax.Array,  # [B] int32 row index
+    off: jax.Array,  # [B] int32 element offset within the row
+    payload: jax.Array,  # [B, Kp] same dtype as table (Kp <= K)
+    interpret: bool = False,
+) -> jax.Array:
+    """Write ``payload[i]`` into ``table[idx[i], off[i]:off[i]+Kp]`` in place.
+
+    The slot-granular sibling of :func:`scatter_rows_inplace` (used for the
+    builder's backlink appends into fused rows); bad row indices drop.
+    """
+    n, k = table.shape
+    kp = payload.shape[1]
+    return pl.pallas_call(
+        _scatter_slots_kernel(n, kp),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),  # payload
+                pl.BlockSpec(memory_space=pltpu.HBM),  # table (aliased)
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+            scratch_shapes=[pltpu.SemaphoreType.DMA(())],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, k), table.dtype),
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(idx, off, payload, table)
+
+
+def scatter_slots_ref(table, idx, off, payload):
+    """jnp reference (copying) for tests / non-TPU backends."""
+    n, k = table.shape
+    b, kp = payload.shape
+    cols = off[:, None] + jnp.arange(kp, dtype=jnp.int32)[None, :]
+    rows = jnp.where((idx >= 0) & (idx < n), idx, n)[:, None]
+    return table.at[jnp.broadcast_to(rows, (b, kp)), cols].set(
+        payload, mode="drop"
+    )
+
+
+def scatter_slots_auto(table, idx, off, payload):
+    try:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    if on_tpu:
+        return scatter_slots_inplace(table, idx, off, payload)
+    return scatter_slots_ref(table, idx, off, payload)
+
+
+def scatter_rows_ref(table, idx, payload):
+    """jnp reference (copying) for tests / non-TPU backends."""
+    n = table.shape[0]
+    safe = jnp.where((idx >= 0) & (idx < n), idx, n)
+    return table.at[safe].set(payload, mode="drop")
+
+
+def scatter_rows_auto(table, idx, payload):
+    """In-place Pallas on TPU, XLA scatter elsewhere."""
+    try:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    if on_tpu:
+        return scatter_rows_inplace(table, idx, payload)
+    return scatter_rows_ref(table, idx, payload)
