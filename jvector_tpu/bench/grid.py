@@ -99,7 +99,7 @@ class Grid:
         jax.block_until_ready(graph.base.neighbors)
         return graph, provider, time.time() - t0
 
-    def _compression_provider(self, graph_provider, comp: dict | None):
+    def _compression_provider(self, graph, graph_provider, comp: dict | None):
         ds = self.dataset
         if comp is None:
             return graph_provider, None, 0.0
@@ -124,6 +124,43 @@ class Grid:
 
             bq = BinaryQuantization.compute(ds.base)
             prov = bq.provider(bq.encode(ds.base))
+        elif ctype == "SQ4":
+            import jax.numpy as jnp
+
+            from jvector_tpu.quantization import ScalarQuantization4
+
+            sq = ScalarQuantization4.compute(ds.base)
+            codes = sq.encode(ds.base)
+            pad = graph.capacity - codes.shape[0]
+            if pad:
+                codes = jnp.concatenate(
+                    [codes, jnp.zeros((pad, codes.shape[1]), jnp.uint8)]
+                )
+            prov = sq.provider_for_graph(
+                codes, graph.base.neighbors, ds.similarity
+            )
+        elif ctype in ("FUSED_PQ", "FUSEDPQ"):
+            import jax.numpy as jnp
+
+            from jvector_tpu.graph import FusedADCScoreProvider, build_fused_codes
+            from jvector_tpu.quantization import ProductQuantization
+
+            m = comp.get("m") or max(1, ds.dimension // int(comp.get("mFactor", 8)))
+            pq = ProductQuantization.compute(
+                ds.base, m=int(m), clusters=int(comp.get("k", 256)),
+                globally_center=bool(comp.get("centerData", False)),
+            )
+            codes = pq.encode(ds.base)
+            pad = graph.capacity - codes.shape[0]
+            if pad:
+                codes = jnp.concatenate(
+                    [codes, jnp.zeros((pad, codes.shape[1]), jnp.uint8)]
+                )
+            fused = build_fused_codes(graph.base.neighbors, codes)
+            prov = FusedADCScoreProvider(
+                codes=codes, fused_codes=fused, codebooks=pq.codebooks,
+                center=pq.center, sim=ds.similarity,
+            )
         else:
             raise ValueError(f"unknown compression type {ctype}")
         import jax
@@ -176,7 +213,7 @@ class Grid:
         ):
             graph, exact_provider, build_s = self._build(od, efc, ov, hier, refine)
             first_pass, ctype, quant_s = self._compression_provider(
-                exact_provider, comp
+                graph, exact_provider, comp
             )
             # a reranker is meaningful even without first-pass compression
             # (e.g. exact first pass + NVQ reranking); only an exact rerank

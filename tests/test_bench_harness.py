@@ -41,15 +41,16 @@ def test_grid_runs_and_reports(tmp_path):
         out_degree=[8],
         ef_construction=[24],
         add_hierarchy=[False],
-        compression=[None, {"type": "PQ", "mFactor": 4, "k": 32}],
+        compression=[None, {"type": "PQ", "mFactor": 4, "k": 32}, {"type": "SQ4"}],
         reranking=["FP32"],
         top_k_overquery={10: [2.0]},
         wave_size=64,
     )
     grid = Grid(ds, cfg)
     rows = grid.run(verbose=False)
-    assert len(rows) == 2  # two compression configs x one (topK, oq)
-    assert {r["compression"] for r in rows} == {"NONE", "PQ"}
+    assert len(rows) == 3  # three compression configs x one (topK, oq)
+    assert {r["compression"] for r in rows} == {"NONE", "PQ", "SQ4"}
+    assert all("git_sha" in r and "config_hash" in r for r in rows)
     for r in rows:
         assert r["recall"] > 0.5
         assert r["qps_avg"] > 0
@@ -57,7 +58,7 @@ def test_grid_runs_and_reports(tmp_path):
     grid.write_csv(tmp_path / "x.csv")
     grid.write_jsonl(tmp_path / "x.jsonl")
     lines = (tmp_path / "x.jsonl").read_text().strip().split("\n")
-    assert len(lines) == 2 and json.loads(lines[0])["topK"] == 10
+    assert len(lines) == 3 and json.loads(lines[0])["topK"] == 10
     assert (tmp_path / "x.csv").read_text().startswith("dataset,")
 
 
