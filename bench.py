@@ -57,7 +57,7 @@ def main() -> None:
     p.add_argument("--n", type=int, default=1_000_000)
     p.add_argument("--dim", type=int, default=128)
     p.add_argument("--queries", type=int, default=8192)
-    p.add_argument("--gt-queries", type=int, default=512)
+    p.add_argument("--gt-queries", type=int, default=1024)
     p.add_argument("--top-k", type=int, default=10)
     p.add_argument("--wave", type=int, default=1024, help="query wave size")
     args = p.parse_args()

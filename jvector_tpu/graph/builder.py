@@ -112,11 +112,23 @@ def _insert_wave_impl(
     intra_ids = jnp.broadcast_to(intra_ids, (W, W))
 
     # -- 3. merge + prune -------------------------------------------------
-    cand_ids = jnp.concatenate([beam.ids, intra_ids], axis=1)
-    cand_scores = jnp.concatenate([beam.scores, intra_scores], axis=1)
+    # Keep the beam candidates and the intra-wave candidates in SEPARATE
+    # quota (top-ef each), then prune over the union WITHOUT re-truncating
+    # by score: when a wave holds a dense burst of near-duplicates, the
+    # intra-wave scores would otherwise flood out every beam candidate and
+    # sever the only cross-cluster (long-range) edges — the alpha ramp, not
+    # the score, must decide which far edges survive
+    # (tests/test_graph.py::test_backlink_burst_adversarial_fanin).
+    if W > ef:
+        intra_top_scores, intra_idx = jax.lax.top_k(intra_scores, ef)
+        intra_top_ids = jnp.take_along_axis(intra_ids, intra_idx, axis=1)
+    else:
+        intra_top_scores, intra_top_ids = intra_scores, intra_ids
+    cand_ids = jnp.concatenate([beam.ids[:, :ef], intra_top_ids], axis=1)
+    cand_scores = jnp.concatenate(
+        [beam.scores[:, :ef], intra_top_scores], axis=1
+    )
     cand_ids, cand_scores = dedup_sorted_desc(cand_ids, cand_scores)
-    cand_ids = cand_ids[:, :ef]
-    cand_scores = cand_scores[:, :ef]
 
     simmat = _pairwise_from_provider(prune_provider, cand_ids)
     sel_ids, sel_scores, sel_count = robust_prune(
