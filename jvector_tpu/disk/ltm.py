@@ -41,18 +41,30 @@ def build_on_disk_ltm(
     pq_m: int | None = None,
     training_sample: int = 65_536,
     seed: int = 0,
-) -> tuple[GraphIndex, ADCScoreProvider]:
+    compression: str = "pq",
+) -> tuple[GraphIndex, object]:
     """Stream-build an index bigger than device memory, writing as we go.
 
     ``vectors`` is either an in-memory array (tests) or a chunk loader
     ``f(start, stop) -> np.ndarray`` (the streaming case).  Returns the
-    built graph + the PQ provider (the compressed working set); the full
-    index (graph + inline full-res vectors + PQ sidecar) is on disk at
-    ``path``.
+    built graph + the compressed provider (the working set); the full
+    index (graph + inline full-res vectors + compressed sidecar) is on
+    disk at ``path``.
+
+    ``compression="sq4"`` uses the TPU-native 4-bit scalar quantizer
+    instead of PQ: the working set is half the size of 8-bit PQ codes,
+    scoring is gather-light arithmetic ADC, and the saved index carries
+    the fused-SQ4 feature so it can be served directly by
+    :class:`jvector_tpu.disk.host_graph.HostGraphIndex` with bounded
+    device memory — the full 100M larger-than-memory pipeline.
     """
     sim = SimilarityFunction.parse(sim)
     config = config or GraphConfig()
     load = (lambda a, b: vectors[a:b]) if isinstance(vectors, np.ndarray) else vectors
+    if compression == "sq4":
+        return _build_on_disk_ltm_sq4(
+            path, load, n, dim, config, sim, training_sample, seed
+        )
 
     # ---- phase A: PQ training on a sample --------------------------------
     if pq is None:
@@ -137,6 +149,124 @@ def build_on_disk_ltm(
         similarity=str(sim.value),
         dimension=dim,
         pq_original_dim=pq.original_dim,
+        ltm=True,
+    )
+    writer.close()
+    return graph, provider
+
+
+def _build_on_disk_ltm_sq4(path, load, n, dim, config, sim, training_sample, seed):
+    """SQ4 LTM build: 4-bit working set + fused-SQ4 save for host serving."""
+    from jvector_tpu.graph.score import SQ4ScoreProvider, build_fused_sq4
+    from jvector_tpu.quantization.sq import ScalarQuantization4
+
+    rng = np.random.default_rng(seed)
+    k = min(training_sample, n)
+    sample_rows = np.sort(rng.choice(n, k, replace=False))
+    chunks = []
+    step = 262_144
+    for a in range(0, n, step):
+        in_chunk = sample_rows[(sample_rows >= a) & (sample_rows < a + step)]
+        if len(in_chunk):
+            blk = load(a, min(a + step, n))
+            chunks.append(np.asarray(blk)[in_chunk - a])
+    sq = ScalarQuantization4.compute(np.concatenate(chunks, axis=0))
+
+    from jvector_tpu.graph.index import bucket_capacity
+
+    n_cap = bucket_capacity(n)
+    mp = sq.compressed_size
+    codes = jnp.zeros((n_cap, mp), jnp.uint8)
+    node_w2 = jnp.zeros((n_cap,), jnp.float32)
+    node_norm2 = jnp.zeros((n_cap,), jnp.float32)
+    graph = empty_graph(n_cap, config)
+
+    writer = IndexFileWriter(path)
+    writer.reserve_array(
+        f"feature/{FeatureId.INLINE_VECTORS}/vectors", (n, dim), np.float32
+    )
+
+    def make_provider(codes, node_w2, node_norm2):
+        # empty fused tables: the build scores via plain code rows; the
+        # fused layout is written once the adjacency is final
+        return SQ4ScoreProvider(
+            codes_packed=codes,
+            node_w2=node_w2,
+            node_norm2=node_norm2,
+            fused_packed=jnp.zeros((n_cap, 0), jnp.uint8),
+            fused_w2=jnp.zeros((n_cap, 0), jnp.float32),
+            scale=sq.scale,
+            offset=sq.offset,
+            sim=sim,
+        )
+
+    w = config.wave_size
+    for start in range(0, n, w):
+        stop = min(start + w, n)
+        wave_np = np.asarray(load(start, stop), np.float32)
+        writer.write_rows(
+            f"feature/{FeatureId.INLINE_VECTORS}/vectors", start, wave_np
+        )
+        wave = jnp.asarray(wave_np)
+        wave_codes = sq.encode(wave)
+        w2_w, norm2_w = sq.node_constants(wave_codes)
+        codes = jax.lax.dynamic_update_slice_in_dim(codes, wave_codes, start, axis=0)
+        node_w2 = jax.lax.dynamic_update_slice_in_dim(node_w2, w2_w, start, axis=0)
+        node_norm2 = jax.lax.dynamic_update_slice_in_dim(
+            node_norm2, norm2_w, start, axis=0
+        )
+        provider = make_provider(codes, node_w2, node_norm2)
+
+        ids = np.arange(start, start + w, dtype=np.int32)
+        ids = np.where(ids < n, ids, -1)
+        if stop - start < w:
+            wave = jnp.concatenate(
+                [wave, jnp.zeros((w - (stop - start), dim), jnp.float32)], axis=0
+            )
+        graph = _insert_wave(graph, provider, jnp.asarray(ids), wave, config)
+
+    provider = make_provider(codes, node_w2, node_norm2)
+    builder = GraphIndexBuilder(config)
+    graph = builder.cleanup(graph, provider, vectors=None)
+    centroid = jnp.mean(provider.decode(jnp.arange(min(n, 65_536))), axis=0)[None]
+    qstate = provider.prepare(centroid)
+    entry_scores = provider.score(
+        qstate, jnp.arange(n_cap, dtype=jnp.int32)[None, :]
+    )[0]
+    entry_scores = jnp.where(jnp.arange(n_cap) < n, entry_scores, -jnp.inf)
+    graph = graph._replace(entry_node=jnp.argmax(entry_scores).astype(jnp.int32))
+
+    # final fused layout against the cleaned adjacency -> host-servable
+    const = node_norm2 if sim == SimilarityFunction.COSINE else node_w2
+    fused_packed, fused_w2 = build_fused_sq4(graph.base.neighbors, codes, const)
+    provider = SQ4ScoreProvider(
+        codes_packed=codes,
+        node_w2=node_w2,
+        node_norm2=node_norm2,
+        fused_packed=fused_packed,
+        fused_w2=fused_w2,
+        scale=sq.scale,
+        offset=sq.offset,
+        sim=sim,
+    )
+
+    for l, layer in enumerate(graph.layers):
+        writer.add_array(f"graph/L{l}/neighbors", np.asarray(layer.neighbors))
+        writer.add_array(f"graph/L{l}/counts", np.asarray(layer.counts))
+    f = f"feature/{FeatureId.FUSED_SQ4}"
+    writer.add_array(f"{f}/codes_packed", np.asarray(codes))
+    writer.add_array(f"{f}/node_const", np.asarray(const))
+    writer.add_array(f"{f}/fused_packed", np.asarray(fused_packed))
+    writer.add_array(f"{f}/fused_w2", np.asarray(fused_w2))
+    writer.add_array(f"{f}/scale", np.asarray(sq.scale))
+    writer.add_array(f"{f}/offset", np.asarray(sq.offset))
+    writer.set_meta(
+        num_levels=graph.num_levels,
+        entry_node=int(graph.entry_node),
+        num_nodes=int(graph.num_nodes),
+        features=[FeatureId.INLINE_VECTORS, FeatureId.FUSED_SQ4],
+        similarity=str(sim.value),
+        dimension=dim,
         ltm=True,
     )
     writer.close()

@@ -496,7 +496,9 @@ class SQ4ScoreProvider:
 
     @property
     def supports_fused(self) -> bool:
-        return True
+        # a provider built with empty fused tables (e.g. the LTM working
+        # set before the final layout exists) scores via plain code rows
+        return self.fused_packed.shape[1] > 0
 
     @property
     def padded_dim(self) -> int:
