@@ -261,18 +261,15 @@ class HostGraphIndex:
             safe = np.minimum(
                 np.maximum(sel_np, 0), self.neighbors.shape[0] - 1
             ).reshape(-1)
-            # the host-side "disk read": one contiguous row per expansion
-            nbrs_d = jnp.asarray(
-                np.ascontiguousarray(self.neighbors[safe]).reshape(Q, expand, R)
-            )
+            # the host-side "disk read": one contiguous row per expansion,
+            # gathered by the native parallel-memcpy runtime
+            from jvector_tpu.util.native import gather_rows
+
+            nbrs_d = jnp.asarray(gather_rows(self.neighbors, safe).reshape(Q, expand, R))
             rows_d = jnp.asarray(
-                np.ascontiguousarray(self.fused_packed[safe]).reshape(
-                    Q, expand, R, mp
-                )
+                gather_rows(self.fused_packed, safe).reshape(Q, expand, R, mp)
             )
-            w2_d = jnp.asarray(
-                np.ascontiguousarray(self.fused_w2[safe]).reshape(Q, expand, R)
-            )
+            w2_d = jnp.asarray(gather_rows(self.fused_w2, safe).reshape(Q, expand, R))
 
         ids, scores = state.ids, state.scores
         if self.deleted is not None and self.deleted.any():

@@ -51,9 +51,9 @@ class HostVectorStore:
         ids = np.asarray(approx.ids)
         q, k = ids.shape
         safe = np.maximum(ids, 0)
-        block = np.ascontiguousarray(self.vectors[safe.reshape(-1)]).reshape(
-            q, k, -1
-        )
+        from jvector_tpu.util.native import gather_rows
+
+        block = gather_rows(self.vectors, safe.reshape(-1)).reshape(q, k, -1)
         dev = jnp.asarray(block)
 
         def _score(queries, dev):

@@ -236,19 +236,14 @@ def _build_on_disk_ltm_sq4(path, load, n, dim, config, sim, training_sample, see
     entry_scores = jnp.where(jnp.arange(n_cap) < n, entry_scores, -jnp.inf)
     graph = graph._replace(entry_node=jnp.argmax(entry_scores).astype(jnp.int32))
 
-    # final fused layout against the cleaned adjacency -> host-servable
+    # final fused layout against the cleaned adjacency -> host-servable.
+    # Small indexes keep the fused tables on device (fast in-HBM serving);
+    # big ones stream fused chunks straight into the file and return a
+    # fused-less provider — serving then goes through HostGraphIndex.
     const = node_norm2 if sim == SimilarityFunction.COSINE else node_w2
-    fused_packed, fused_w2 = build_fused_sq4(graph.base.neighbors, codes, const)
-    provider = SQ4ScoreProvider(
-        codes_packed=codes,
-        node_w2=node_w2,
-        node_norm2=node_norm2,
-        fused_packed=fused_packed,
-        fused_w2=fused_w2,
-        scale=sq.scale,
-        offset=sq.offset,
-        sim=sim,
-    )
+    r_cap = graph.row_cap
+    fused_bytes = n_cap * r_cap * (mp + 4)
+    keep_fused_on_device = fused_bytes < (4 << 30)
 
     for l, layer in enumerate(graph.layers):
         writer.add_array(f"graph/L{l}/neighbors", np.asarray(layer.neighbors))
@@ -256,8 +251,34 @@ def _build_on_disk_ltm_sq4(path, load, n, dim, config, sim, training_sample, see
     f = f"feature/{FeatureId.FUSED_SQ4}"
     writer.add_array(f"{f}/codes_packed", np.asarray(codes))
     writer.add_array(f"{f}/node_const", np.asarray(const))
-    writer.add_array(f"{f}/fused_packed", np.asarray(fused_packed))
-    writer.add_array(f"{f}/fused_w2", np.asarray(fused_w2))
+    if keep_fused_on_device:
+        fused_packed, fused_w2 = build_fused_sq4(graph.base.neighbors, codes, const)
+        provider = SQ4ScoreProvider(
+            codes_packed=codes,
+            node_w2=node_w2,
+            node_norm2=node_norm2,
+            fused_packed=fused_packed,
+            fused_w2=fused_w2,
+            scale=sq.scale,
+            offset=sq.offset,
+            sim=sim,
+        )
+        writer.add_array(f"{f}/fused_packed", np.asarray(fused_packed))
+        writer.add_array(f"{f}/fused_w2", np.asarray(fused_w2))
+    else:
+        provider = make_provider(codes, node_w2, node_norm2)
+        writer.reserve_array(
+            f"{f}/fused_packed", (n_cap, r_cap * mp), np.uint8
+        )
+        writer.reserve_array(f"{f}/fused_w2", (n_cap, r_cap), np.float32)
+        chunk = max(1, (1 << 29) // (r_cap * mp))
+        for a in range(0, n_cap, chunk):
+            b = min(a + chunk, n_cap)
+            fp_c, fw_c = build_fused_sq4(
+                graph.base.neighbors[a:b], codes, const
+            )
+            writer.write_rows(f"{f}/fused_packed", a, np.asarray(fp_c))
+            writer.write_rows(f"{f}/fused_w2", a, np.asarray(fw_c))
     writer.add_array(f"{f}/scale", np.asarray(sq.scale))
     writer.add_array(f"{f}/offset", np.asarray(sq.offset))
     writer.set_meta(

@@ -72,6 +72,11 @@ def _load() -> "ctypes.CDLL | None":
             lib.jvtpu_prefetch_next.restype = ctypes.c_int64
             lib.jvtpu_prefetch_close.argtypes = [ctypes.c_void_p]
             lib.jvtpu_prefetch_close.restype = None
+            lib.jvtpu_gather_rows.argtypes = [
+                ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int,
+            ]
+            lib.jvtpu_gather_rows.restype = ctypes.c_int
             _lib = lib
         except Exception:
             _load_failed = True
@@ -212,3 +217,40 @@ class PrefetchReader:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def gather_rows(src: np.ndarray, idx: np.ndarray, n_threads: int = 8) -> np.ndarray:
+    """Parallel ``src[idx]`` row gather into a fresh contiguous array.
+
+    The host side of bounded-memory serving: one memcpy per streamed graph
+    row, fanned across threads (numpy fancy indexing is single-threaded).
+    Out-of-range / negative indices produce zero rows (the drop contract).
+    Falls back to numpy when the native library is unavailable.
+    """
+    idx = np.ascontiguousarray(idx, np.int32)
+    lib = _load()
+    row_bytes = src.dtype.itemsize * int(np.prod(src.shape[1:], dtype=np.int64))
+    if (
+        lib is not None
+        and src.flags.c_contiguous
+        and row_bytes > 0
+        and src.ndim >= 1
+    ):
+        out = np.empty((idx.shape[0],) + src.shape[1:], src.dtype)
+        rc = lib.jvtpu_gather_rows(
+            src.ctypes.data_as(ctypes.c_void_p),
+            row_bytes,
+            idx.ctypes.data_as(ctypes.c_void_p),
+            idx.shape[0],
+            src.shape[0],
+            out.ctypes.data_as(ctypes.c_void_p),
+            n_threads,
+        )
+        if rc == 0:
+            return out
+    safe = np.clip(idx, 0, src.shape[0] - 1)
+    out = np.ascontiguousarray(src[safe])
+    bad = (idx < 0) | (idx >= src.shape[0])
+    if bad.any():
+        out[bad] = 0
+    return out

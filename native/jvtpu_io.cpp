@@ -217,6 +217,36 @@ struct Prefetcher {
   }
 };
 
+// Parallel row gather: out[i] = src[idx[i]] for row_bytes-sized rows.
+// The host side of graph-row streaming (HostGraphIndex): one memcpy per
+// expansion row out of a memmap, fanned across threads (page-cache reads
+// parallelize well; numpy fancy indexing is single-threaded).
+int jvtpu_gather_rows(const char* src, uint64_t row_bytes, const int32_t* idx,
+                      int64_t n_idx, int64_t n_rows, char* out, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  if ((int64_t)n_threads > n_idx) n_threads = (int)(n_idx > 0 ? n_idx : 1);
+  std::vector<std::thread> ts;
+  std::atomic<int> err{0};
+  int64_t per = (n_idx + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t a = t * per, b = std::min<int64_t>(a + per, n_idx);
+    if (a >= b) break;
+    ts.emplace_back([=, &err] {
+      for (int64_t i = a; i < b; ++i) {
+        int64_t r = idx[i];
+        if (r < 0 || r >= n_rows) {
+          std::memset(out + i * row_bytes, 0, row_bytes);
+        } else {
+          std::memcpy(out + i * row_bytes, src + (uint64_t)r * row_bytes,
+                      row_bytes);
+        }
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+  return err.load();
+}
+
 void* jvtpu_prefetch_open(const char* path, uint64_t chunk_bytes, int depth) {
   auto* p = new Prefetcher();
   p->fd = ::open(path, O_RDONLY);

@@ -89,3 +89,19 @@ def test_fvecs_public_api_uses_native_or_fallback(tmp_path):
     p = tmp_path / "v.fvecs"
     write_fvecs(p, v)
     np.testing.assert_array_equal(read_fvecs(p), v)
+
+
+def test_gather_rows_parallel_matches_numpy():
+    from jvector_tpu.util.native import gather_rows
+
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 255, (500, 48), dtype=np.uint8)
+    idx = np.asarray([0, 499, -1, 500, 77, 77], np.int32)
+    got = gather_rows(src, idx, n_threads=4)
+    expect = src[np.clip(idx, 0, 499)].copy()
+    expect[(idx < 0) | (idx >= 500)] = 0
+    np.testing.assert_array_equal(got, expect)
+
+    srcf = rng.normal(size=(300, 7)).astype(np.float32)
+    idx2 = rng.integers(0, 300, 1000).astype(np.int32)
+    np.testing.assert_array_equal(gather_rows(srcf, idx2), srcf[idx2])
