@@ -80,7 +80,9 @@ class ScalarQuantization4:
         lo = np.quantile(vectors, clip_quantile, axis=0)
         hi = np.quantile(vectors, 1.0 - clip_quantile, axis=0)
         d_pad = ((d + 1) // 2) * 2
-        scale = np.zeros(d_pad, np.float32)
+        # padded dims get scale 1 / offset 0: codes come out 0 (not 0/0=NaN)
+        # and contribute nothing to any measure
+        scale = np.ones(d_pad, np.float32)
         offset = np.zeros(d_pad, np.float32)
         scale[:d] = np.maximum((hi - lo) / 15.0, 1e-12)
         offset[:d] = lo

@@ -121,3 +121,19 @@ def test_sq4_accelerated_build_recall():
         res = search(graph, exact, jnp.asarray(queries), top_k=10, beam_width=40)
         recalls[mode] = recall_at_k(np.asarray(res.ids), gt, 10)
     assert recalls["sq4"] >= recalls[None] - 0.02, recalls
+
+
+def test_sq4_odd_dimension():
+    """Odd dims pad to even; padded dims must encode to 0, not NaN."""
+    rng = np.random.default_rng(5)
+    data = rng.normal(size=(300, 33)).astype(np.float32)
+    sq = ScalarQuantization4.compute(data)
+    codes = sq.encode(data)
+    assert codes.shape == (300, 17)
+    k = unpack_nibble_rows(codes)
+    assert int(k[:, -1].max()) == 0  # padded dim encodes to level 0
+    dec = np.asarray(sq.decode(codes))
+    assert dec.shape == (300, 33)
+    assert np.isfinite(dec).all()
+    err = np.mean(np.sum((dec - data) ** 2, axis=1))
+    assert err < 0.02 * np.sum(np.var(data, axis=0))
