@@ -544,6 +544,25 @@ class SQ4ScoreProvider:
         acc = jnp.einsum("qcd,qd->qc", k, u, preferred_element_type=jnp.float32)
         return self._finish(acc, c0, self.node_w2[ids], self.node_norm2[ids])
 
+    def refreshed_for(self, neighbors: jax.Array) -> "SQ4ScoreProvider":
+        """Rebuild the fused tables against a (mutated) adjacency.
+
+        The fused tables are a SNAPSHOT of the adjacency's slot layout:
+        after ``add_nodes`` / ``remove_deleted`` / ``refine_graph`` mutate
+        rows, call this before serving or edge scores read stale codes.
+        """
+        const = (
+            self.node_norm2
+            if self.sim == SimilarityFunction.COSINE
+            else self.node_w2
+        )
+        fused_packed, fused_w2 = build_fused_sq4(
+            neighbors, self.codes_packed, const
+        )
+        return dataclasses.replace(
+            self, fused_packed=fused_packed, fused_w2=fused_w2
+        )
+
     def score_edges(self, qstate, node_ids: jax.Array) -> jax.Array:
         """``[Q]`` or ``[Q, E]`` expanded nodes -> neighbor scores ``[Q, E*R]``."""
         from jvector_tpu.quantization.sq import unpack_nibble_rows

