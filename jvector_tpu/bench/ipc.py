@@ -8,6 +8,8 @@ over a Unix domain socket:
     OPTIMIZE
     SEARCH <ef> <topK> [q...] [q...] ...
     MEMORY
+    SAVE <path>                (persist the optimized index)
+    LOAD <path>                (serve a previously saved index)
 
 Responses: ``OK``, ``OK <value>``, ``RESULT <ids...> ...``, ``ERROR <msg>``.
 The TPU twist: SEARCH batches every query in the command into one wave.
@@ -125,6 +127,47 @@ class IPCService:
                     " ".join(str(int(x)) for x in row if x >= 0) for row in ids
                 ]
                 return "RESULT " + ";".join(lines)
+            if cmd == "SAVE":
+                if state.graph is None:
+                    return "ERROR no optimized index (OPTIMIZE first)"
+                import numpy as _np
+
+                from jvector_tpu.disk.format import FeatureId, write_index
+
+                write_index(
+                    rest.strip(),
+                    state.graph,
+                    features={
+                        FeatureId.INLINE_VECTORS: {
+                            "vectors": _np.asarray(state.provider.vectors)[
+                                : int(state.graph.num_nodes)
+                            ]
+                        }
+                    },
+                    renumber=False,
+                    similarity=state.sim,
+                    dimension=state.dim,
+                )
+                return "OK"
+            if cmd == "LOAD":
+                from jvector_tpu.disk.format import load_index
+                from jvector_tpu.graph.score import ExactScoreProvider
+                import jax.numpy as jnp
+
+                idx = load_index(rest.strip())
+                graph, feats = idx.to_device()
+                vecs = feats["inline_vectors"]["vectors"]
+                pad = graph.capacity - vecs.shape[0]
+                if pad > 0:
+                    vecs = jnp.concatenate(
+                        [vecs, jnp.zeros((pad, vecs.shape[1]), vecs.dtype)]
+                    )
+                state.reset()
+                state.dim = int(vecs.shape[1])
+                state.sim = idx.meta.get("similarity", "euclidean")
+                state.graph = graph
+                state.provider = ExactScoreProvider(vectors=vecs, sim=state.sim)
+                return f"OK {int(graph.num_nodes)}"
             if cmd == "MEMORY":
                 from jvector_tpu.util.accounting import bytes_used
 

@@ -70,3 +70,25 @@ def test_ipc_incremental_optimize(service):
         assert resp.startswith("RESULT ")
     finally:
         c.close()
+
+
+def test_ipc_save_load_roundtrip(service, tmp_path):
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(200, 8)).astype(np.float32)
+    path = str(tmp_path / "ipc_index.jvtpu")
+    c = IPCClient(service.socket_path)
+    try:
+        assert c.call("CREATE 8 euclidean 8 24") == "OK"
+        assert c.call("WRITE " + fmt(data)).startswith("OK")
+        assert c.call("OPTIMIZE").startswith("OK")
+        assert c.call(f"SAVE {path}") == "OK"
+    finally:
+        c.close()
+    c = IPCClient(service.socket_path)  # fresh session serves from file
+    try:
+        assert c.call(f"LOAD {path}") == "OK 200"
+        resp = c.call("SEARCH 24 1 " + fmt(data[7:8]))
+        assert resp.startswith("RESULT")
+        assert resp.split()[1].split(";")[0] == "7"  # self-match
+    finally:
+        c.close()
