@@ -68,22 +68,24 @@ class SQ4StreamScorer:
             q = jnp.concatenate(
                 [q, jnp.zeros(q.shape[:-1] + (dp - d,), q.dtype)], axis=-1
             )
+        from jvector_tpu.quantization.sq import group_dims
+
         if self.sim == SimilarityFunction.EUCLIDEAN:
             qb = q - self.offset
-            return -2.0 * self.scale * qb, jnp.sum(qb * qb, axis=-1)
+            return group_dims(-2.0 * self.scale * qb), jnp.sum(qb * qb, axis=-1)
         if self.sim == SimilarityFunction.COSINE:
             qn = q / jnp.maximum(
                 jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True)), 1e-30
             )
-            return qn * self.scale, jnp.sum(qn * self.offset, axis=-1)
-        return q * self.scale, jnp.sum(q * self.offset, axis=-1)
+            return group_dims(qn * self.scale), jnp.sum(qn * self.offset, axis=-1)
+        return group_dims(q * self.scale), jnp.sum(q * self.offset, axis=-1)
 
     def score_rows(self, qstate, k_packed: jax.Array, w2: jax.Array) -> jax.Array:
         """k_packed ``[Q, C, MP]`` uint8, w2 ``[Q, C]`` -> scores ``[Q, C]``."""
-        from jvector_tpu.quantization.sq import unpack_nibble_rows
+        from jvector_tpu.quantization.sq import unpack_nibble_rows_grouped
 
         u, c0 = qstate
-        k = unpack_nibble_rows(k_packed).astype(jnp.float32)
+        k = unpack_nibble_rows_grouped(k_packed).astype(jnp.float32)
         acc = jnp.einsum("qcd,qd->qc", k, u, preferred_element_type=jnp.float32)
         if self.sim == SimilarityFunction.EUCLIDEAN:
             raw = jnp.maximum(acc + c0[:, None] + w2, 0.0)

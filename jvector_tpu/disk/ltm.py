@@ -157,7 +157,11 @@ def build_on_disk_ltm(
 
 def _build_on_disk_ltm_sq4(path, load, n, dim, config, sim, training_sample, seed):
     """SQ4 LTM build: 4-bit working set + fused-SQ4 save for host serving."""
-    from jvector_tpu.graph.score import SQ4ScoreProvider, build_fused_sq4
+    from jvector_tpu.graph.score import (
+        SQ4ScoreProvider,
+        build_fused_sq4,
+        sq4_aug_rows,
+    )
     from jvector_tpu.quantization.sq import ScalarQuantization4
 
     rng = np.random.default_rng(seed)
@@ -186,9 +190,11 @@ def _build_on_disk_ltm_sq4(path, load, n, dim, config, sim, training_sample, see
         f"feature/{FeatureId.INLINE_VECTORS}/vectors", (n, dim), np.float32
     )
 
-    def make_provider(codes, node_w2, node_norm2):
-        # empty fused tables: the build scores via plain code rows; the
-        # fused layout is written once the adjacency is final
+    aug = jnp.zeros((n_cap, mp + 4), jnp.uint8)
+
+    def make_provider(codes, node_w2, node_norm2, aug):
+        # empty fused tables: the build scores via plain (augmented) code
+        # rows; the fused layout is written once the adjacency is final
         return SQ4ScoreProvider(
             codes_packed=codes,
             node_w2=node_w2,
@@ -197,6 +203,7 @@ def _build_on_disk_ltm_sq4(path, load, n, dim, config, sim, training_sample, see
             fused_w2=jnp.zeros((n_cap, 0), jnp.float32),
             scale=sq.scale,
             offset=sq.offset,
+            codes_aug=aug,
             sim=sim,
         )
 
@@ -215,7 +222,11 @@ def _build_on_disk_ltm_sq4(path, load, n, dim, config, sim, training_sample, see
         node_norm2 = jax.lax.dynamic_update_slice_in_dim(
             node_norm2, norm2_w, start, axis=0
         )
-        provider = make_provider(codes, node_w2, node_norm2)
+        const_w = norm2_w if sim == SimilarityFunction.COSINE else w2_w
+        aug = jax.lax.dynamic_update_slice_in_dim(
+            aug, sq4_aug_rows(wave_codes, const_w), start, axis=0
+        )
+        provider = make_provider(codes, node_w2, node_norm2, aug)
 
         ids = np.arange(start, start + w, dtype=np.int32)
         ids = np.where(ids < n, ids, -1)
@@ -225,7 +236,7 @@ def _build_on_disk_ltm_sq4(path, load, n, dim, config, sim, training_sample, see
             )
         graph = _insert_wave(graph, provider, jnp.asarray(ids), wave, config)
 
-    provider = make_provider(codes, node_w2, node_norm2)
+    provider = make_provider(codes, node_w2, node_norm2, aug)
     builder = GraphIndexBuilder(config)
     graph = builder.cleanup(graph, provider, vectors=None)
     centroid = jnp.mean(provider.decode(jnp.arange(min(n, 65_536))), axis=0)[None]
@@ -261,12 +272,13 @@ def _build_on_disk_ltm_sq4(path, load, n, dim, config, sim, training_sample, see
             fused_w2=fused_w2,
             scale=sq.scale,
             offset=sq.offset,
+            codes_aug=aug,
             sim=sim,
         )
         writer.add_array(f"{f}/fused_packed", np.asarray(fused_packed))
         writer.add_array(f"{f}/fused_w2", np.asarray(fused_w2))
     else:
-        provider = make_provider(codes, node_w2, node_norm2)
+        provider = make_provider(codes, node_w2, node_norm2, aug)
         writer.reserve_array(
             f"{f}/fused_packed", (n_cap, r_cap * mp), np.uint8
         )

@@ -445,7 +445,10 @@ class GraphIndexBuilder:
             codes = jnp.concatenate(
                 [codes, jnp.zeros((n_cap - n, codes.shape[1]), jnp.uint8)]
             )
+        from jvector_tpu.graph.score import sq4_aug_rows
+
         w2, norm2 = sq.node_constants(codes)
+        const = norm2 if sim == SimilarityFunction.COSINE else w2
         mp = codes.shape[1]
         r_cap = self.config.row_cap
         return SQ4ScoreProvider(
@@ -456,6 +459,7 @@ class GraphIndexBuilder:
             fused_w2=jnp.zeros((n_cap, r_cap), jnp.float32),
             scale=sq.scale,
             offset=sq.offset,
+            codes_aug=sq4_aug_rows(codes, const),
             sim=sim,
         )
 

@@ -458,6 +458,7 @@ def build_fused_codes_lut16(
         "fused_w2",
         "scale",
         "offset",
+        "codes_aug",
     ],
     meta_fields=["sim"],
 )
@@ -488,6 +489,12 @@ class SQ4ScoreProvider:
     fused_w2: jax.Array  # [N, R] float32
     scale: jax.Array  # [D_pad] float32
     offset: jax.Array  # [D_pad] float32
+    # augmented rows [N, MP+4]: packed codes + the sim-appropriate per-node
+    # constant as 4 LE bytes, so plain (non-fused) scoring is ONE row gather
+    # — XLA gathers are row-count-bound, and codes+w2+norm2 as three
+    # separate gathers tripled the build/LTM search cost.  None = rebuildable
+    # on demand (sq4_aug_rows); scoring falls back to separate gathers.
+    codes_aug: jax.Array | None = None
     sim: SimilarityFunction = SimilarityFunction.EUCLIDEAN
 
     @property
@@ -505,7 +512,10 @@ class SQ4ScoreProvider:
         return self.scale.shape[0]
 
     def prepare(self, queries: jax.Array):
-        """Query state: the FMA vector ``u [Q, D]`` + constant ``c0 [Q]``."""
+        """Query state: FMA vector ``u [Q, D]`` (GROUPED dim order, see
+        ``unpack_nibble_rows_grouped``) + constant ``c0 [Q]``."""
+        from jvector_tpu.quantization.sq import group_dims
+
         q = queries.astype(jnp.float32)
         d = q.shape[-1]
         if d < self.padded_dim:
@@ -517,13 +527,13 @@ class SQ4ScoreProvider:
             qb = q - self.offset
             u = -2.0 * self.scale * qb  # [Q, D]
             c0 = jnp.sum(qb * qb, axis=-1)  # [Q]
-            return u, c0
+            return group_dims(u), c0
         if self.sim == SimilarityFunction.COSINE:
             qn = q / jnp.maximum(
                 jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True)), 1e-30
             )
-            return qn * self.scale, jnp.sum(qn * self.offset, axis=-1)
-        return q * self.scale, jnp.sum(q * self.offset, axis=-1)
+            return group_dims(qn * self.scale), jnp.sum(qn * self.offset, axis=-1)
+        return group_dims(q * self.scale), jnp.sum(q * self.offset, axis=-1)
 
     def _finish(self, acc, c0, w2, norm2):
         """acc = sum u*k over dims; combine with constants per similarity."""
@@ -539,8 +549,26 @@ class SQ4ScoreProvider:
         """ids ``[Q, C]`` -> scores ``[Q, C]``."""
         from jvector_tpu.quantization.sq import unpack_nibble_rows
 
+        from jvector_tpu.quantization.sq import unpack_nibble_rows_grouped
+
         u, c0 = qstate
-        k = unpack_nibble_rows(self.codes_packed[ids]).astype(jnp.float32)
+        if self.codes_aug is not None:
+            mp = self.codes_packed.shape[1]
+            rows = self.codes_aug[ids]  # ONE gather: codes + packed constant
+            k = unpack_nibble_rows_grouped(rows[..., :mp]).astype(jnp.float32)
+            acc = jnp.einsum(
+                "qcd,qd->qc", k, u, preferred_element_type=jnp.float32
+            )
+            b = rows[..., mp : mp + 4].astype(jnp.uint32)
+            const = jax.lax.bitcast_convert_type(
+                b[..., 0]
+                | (b[..., 1] << 8)
+                | (b[..., 2] << 16)
+                | (b[..., 3] << 24),
+                jnp.float32,
+            )
+            return self._finish(acc, c0, const, const)
+        k = unpack_nibble_rows_grouped(self.codes_packed[ids]).astype(jnp.float32)
         acc = jnp.einsum("qcd,qd->qc", k, u, preferred_element_type=jnp.float32)
         return self._finish(acc, c0, self.node_w2[ids], self.node_norm2[ids])
 
@@ -565,7 +593,7 @@ class SQ4ScoreProvider:
 
     def score_edges(self, qstate, node_ids: jax.Array) -> jax.Array:
         """``[Q]`` or ``[Q, E]`` expanded nodes -> neighbor scores ``[Q, E*R]``."""
-        from jvector_tpu.quantization.sq import unpack_nibble_rows
+        from jvector_tpu.quantization.sq import unpack_nibble_rows_grouped
 
         u, c0 = qstate
         q = node_ids.shape[0]
@@ -574,7 +602,7 @@ class SQ4ScoreProvider:
         w2 = self.fused_w2[node_ids]  # [Q, (E,) R]
         rows = rows.reshape(q, -1, mp)  # [Q, E*R, MP]
         w2 = w2.reshape(q, -1)
-        k = unpack_nibble_rows(rows).astype(jnp.float32)  # [Q, E*R, D]
+        k = unpack_nibble_rows_grouped(rows).astype(jnp.float32)  # [Q, E*R, D]
         acc = jnp.einsum("qcd,qd->qc", k, u, preferred_element_type=jnp.float32)
         return self._finish(acc, c0, w2, w2)
 
@@ -590,13 +618,33 @@ class SQ4ScoreProvider:
         return self.score(self.prepare(self.decode(node_ids)), ids)
 
     def pairwise(self, ids_a: jax.Array, ids_b: jax.Array) -> jax.Array:
-        B, Ca = ids_a.shape
-        Cb = ids_b.shape[1]
-        flat = self.score_nodes(
-            ids_a.reshape(-1),
-            jnp.broadcast_to(ids_b[:, None], (B, Ca, Cb)).reshape(B * Ca, Cb),
-        )
-        return flat.reshape(B, Ca, Cb)
+        """All-pairs on dequantized vectors — one decode per side, one MXU
+        matmul (the diversity-prune kernel)."""
+        from jvector_tpu.ops.similarity import pairwise_raw
+
+        a = self.decode(ids_a)
+        b = a if ids_a is ids_b else self.decode(ids_b)
+        raw = pairwise_raw(a, b, self.sim)
+        return normalize_score(raw, self.sim)
+
+
+def sq4_aug_rows(codes_packed: jax.Array, const: jax.Array) -> jax.Array:
+    """Pack codes + per-node constant into one gatherable row ``[N, MP+4]``.
+
+    ``const`` is the sim-appropriate scalar (w2 for euclidean, norm2 for
+    cosine, anything for dot — it is ignored); stored as 4 LE bytes.
+    """
+    cb = jax.lax.bitcast_convert_type(const.astype(jnp.float32), jnp.uint32)
+    bytes4 = jnp.stack(
+        [
+            (cb & 0xFF),
+            (cb >> 8) & 0xFF,
+            (cb >> 16) & 0xFF,
+            (cb >> 24) & 0xFF,
+        ],
+        axis=-1,
+    ).astype(jnp.uint8)
+    return jnp.concatenate([codes_packed, bytes4], axis=-1)
 
 
 def build_fused_sq4(

@@ -54,6 +54,23 @@ def unpack_nibble_rows(packed: jax.Array) -> jax.Array:
     return jnp.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1], -1)
 
 
+def unpack_nibble_rows_grouped(packed: jax.Array) -> jax.Array:
+    """Packed ``[..., D/2]`` uint8 -> ``[..., D]`` levels in GROUPED order
+    ``[even dims..., odd dims...]`` — a plain concat, no lane interleave
+    (the interleaving reshape in :func:`unpack_nibble_rows` is a minor-dim
+    shuffle XLA lowers poorly inside the search loop).  Pair with a query
+    vector permuted by :func:`group_dims`.
+    """
+    lo = (packed & 0xF).astype(jnp.int32)
+    hi = (packed >> 4).astype(jnp.int32)
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+def group_dims(u: jax.Array) -> jax.Array:
+    """Permute the trailing dim to ``[even..., odd...]`` (grouped order)."""
+    return jnp.concatenate([u[..., 0::2], u[..., 1::2]], axis=-1)
+
+
 @partial(_register, data_fields=["scale", "offset"], meta_fields=["original_dim"])
 @dataclasses.dataclass(frozen=True)
 class ScalarQuantization4:
@@ -154,7 +171,11 @@ class ScalarQuantization4:
 
         ``codes_packed`` must already be padded to the graph capacity.
         """
-        from jvector_tpu.graph.score import SQ4ScoreProvider, build_fused_sq4
+        from jvector_tpu.graph.score import (
+            SQ4ScoreProvider,
+            build_fused_sq4,
+            sq4_aug_rows,
+        )
         from jvector_tpu.ops.similarity import SimilarityFunction
 
         sim = SimilarityFunction.parse(sim)
@@ -169,5 +190,6 @@ class ScalarQuantization4:
             fused_w2=fused_w2,
             scale=self.scale,
             offset=self.offset,
+            codes_aug=sq4_aug_rows(codes_packed, const),
             sim=sim,
         )
