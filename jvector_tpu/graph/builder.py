@@ -53,26 +53,24 @@ def _pairwise_from_provider(provider, ids: jax.Array) -> jax.Array:
     return provider.pairwise(safe, safe)
 
 
-def _insert_wave_impl(
+@partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
+def _insert_wave(
     graph: GraphIndex,
     provider,
     wave_ids: jax.Array,  # int32 [W], -1 padded on the ragged final wave
     wave_vectors: jax.Array,  # float32 [W, D] full-res vectors being inserted
     config: GraphConfig,
-    return_updates: bool = False,
     prune_provider=None,
-):
-    """One wave insert; returns ``(graph, updates)``.
+) -> GraphIndex:
+    """One wave insert.  The graph argument is DONATED — callers that keep
+    their input graph must pass copies (see ``add_nodes``).
 
     ``prune_provider`` (default: ``provider``) scores the intra-wave pairs
-    and the diversity prune — the SQ4-accelerated build searches on codes
-    but prunes full-precision so graph quality matches the exact build.
-
-    With ``return_updates=True`` the adjacency mutations (wave rows,
-    backlink slots, overflow re-prunes) are also returned so the caller can
-    mirror them into fused neighbor-code tables (see ``_apply_fused``);
-    applying those in a separate donated jit keeps the multi-GB tables
-    updating in place instead of being copied by every scatter.
+    and the diversity prune.  The SQ4-accelerated build passes the exact
+    provider here: compressed scores tie on clusters tighter than the
+    quantization step, and tie-broken prunes disconnect such clusters
+    (tests/test_graph.py::test_backlink_burst_adversarial_fanin) — beam
+    search tolerates the ties, the prune does not.
     """
     W = wave_ids.shape[0]
     layer = graph.base
@@ -101,9 +99,9 @@ def _insert_wave_impl(
     )
 
     # -- 2. intra-wave candidates (replaces insertionsInProgress) --------
+    prune_qstate = prune_provider.prepare(wave_vectors)
     wave_pair_scores = prune_provider.score(
-        prune_provider.prepare(wave_vectors),
-        jnp.broadcast_to(safe_wave[None, :], (W, W)),
+        prune_qstate, jnp.broadcast_to(safe_wave[None, :], (W, W))
     )  # [W, W] score of query i vs wave node j
     self_mask = jnp.eye(W, dtype=bool)
     intra_valid = wave_valid[None, :] & wave_valid[:, None] & ~self_mask
@@ -129,6 +127,16 @@ def _insert_wave_impl(
         [beam.scores[:, :ef], intra_top_scores], axis=1
     )
     cand_ids, cand_scores = dedup_sorted_desc(cand_ids, cand_scores)
+    if prune_provider is not provider:
+        # compressed search scores only drove DISCOVERY; re-rank the pooled
+        # candidates full-precision (one [W, C] row gather) so the prune,
+        # the stored edge scores, and the greedy order are exact
+        valid = cand_ids >= 0
+        rescored = prune_provider.score(prune_qstate, jnp.maximum(cand_ids, 0))
+        cand_scores = jnp.where(valid, rescored, NEG_INF)
+        order = jnp.argsort(-cand_scores, axis=1)
+        cand_ids = jnp.take_along_axis(cand_ids, order, axis=1)
+        cand_scores = jnp.take_along_axis(cand_scores, order, axis=1)
 
     simmat = _pairwise_from_provider(prune_provider, cand_ids)
     sel_ids, sel_scores, sel_count = robust_prune(
@@ -214,17 +222,6 @@ def _insert_wave_impl(
     neighbors = neighbors.at[er].set(p_row_ids, mode="drop")
     scores = scores.at[er].set(p_row_scores, mode="drop")
     counts = counts.at[er].set(p_count, mode="drop")
-    updates = None
-    if return_updates:
-        updates = dict(
-            wave_rows=scatter_rows,
-            wave_row_ids=row_ids,
-            bl_t=scatter_t,
-            bl_slot=scatter_slot,
-            bl_src=s_sorted,
-            enforce_rows=er,
-            enforce_row_ids=p_row_ids,
-        )
 
     # -- bookkeeping --------------------------------------------------------
     n_new = jnp.sum(wave_valid).astype(jnp.int32)
@@ -238,91 +235,7 @@ def _insert_wave_impl(
         entry_node=entry,
         num_nodes=graph.num_nodes + n_new,
         deleted=graph.deleted,
-    ), updates
-
-
-@partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
-def _insert_wave(graph, provider, wave_ids, wave_vectors, config):
-    """Wave insert, graph donated (callers keeping their graph pass copies)."""
-    g, _ = _insert_wave_impl(graph, provider, wave_ids, wave_vectors, config)
-    return g
-
-
-def _apply_fused_updates(fused_packed, fused_w2, codes_packed, node_const, updates):
-    """Mirror one wave's adjacency mutations into the fused SQ4 tables."""
-    n_cap = fused_packed.shape[0]
-    r_cap = fused_w2.shape[1]
-    mp = codes_packed.shape[1]
-    fused3 = fused_packed.reshape(n_cap, r_cap, mp)
-
-    def rows_for(row_ids):
-        ok = row_ids >= 0
-        safe = jnp.maximum(row_ids, 0)
-        return (
-            jnp.where(ok[..., None], codes_packed[safe], 0),
-            jnp.where(ok, node_const[safe], 0.0),
-        )
-
-    fc, fw = rows_for(updates["wave_row_ids"])
-    fused3 = fused3.at[updates["wave_rows"]].set(fc, mode="drop")
-    fused_w2 = fused_w2.at[updates["wave_rows"]].set(fw, mode="drop")
-    src = jnp.maximum(updates["bl_src"], 0)
-    fused3 = fused3.at[updates["bl_t"], updates["bl_slot"]].set(
-        codes_packed[src], mode="drop"
     )
-    fused_w2 = fused_w2.at[updates["bl_t"], updates["bl_slot"]].set(
-        node_const[src], mode="drop"
-    )
-    fc, fw = rows_for(updates["enforce_row_ids"])
-    fused3 = fused3.at[updates["enforce_rows"]].set(fc, mode="drop")
-    fused_w2 = fused_w2.at[updates["enforce_rows"]].set(fw, mode="drop")
-    return fused3.reshape(n_cap, r_cap * mp), fused_w2
-
-
-def _empty_updates(w: int, m: int, r_cap: int, n_cap: int):
-    """No-op update payload (every index lands in drop territory)."""
-    return dict(
-        wave_rows=jnp.full((w,), n_cap, jnp.int32),
-        wave_row_ids=jnp.full((w, r_cap), -1, jnp.int32),
-        bl_t=jnp.full((w * m,), n_cap, jnp.int32),
-        bl_slot=jnp.zeros((w * m,), jnp.int32),
-        bl_src=jnp.full((w * m,), -1, jnp.int32),
-        enforce_rows=jnp.full((w,), n_cap, jnp.int32),
-        enforce_row_ids=jnp.full((w, r_cap), -1, jnp.int32),
-    )
-
-
-@partial(jax.jit, static_argnames=("config",), donate_argnums=(0, 1))
-def _insert_wave_sq4(
-    graph, provider, prune_provider, wave_ids, wave_vectors, prev_updates, config
-):
-    """Wave insert searching on SQ4 codes, pruning full-precision.
-
-    The PREVIOUS wave's fused-table updates are applied first, as the very
-    first ops of this jit: a donated buffer written before any read aliases
-    in place, whereas applying updates in a separate dispatch found the
-    table still pinned by this (in-flight, asynchronously dispatched) wave
-    and silently copied 1.5 GB per scatter.  The fused view the beam search
-    sees therefore trails the adjacency by exactly the updates passed in —
-    which the caller makes the previous wave's, i.e. no trailing at all.
-
-    Returns ``(graph, provider, updates)`` with graph + provider donated.
-    """
-    fp, fw = _apply_fused_updates(
-        provider.fused_packed,
-        provider.fused_w2,
-        provider.codes_packed,
-        provider.node_norm2
-        if provider.sim == SimilarityFunction.COSINE
-        else provider.node_w2,
-        prev_updates,
-    )
-    provider = dataclasses.replace(provider, fused_packed=fp, fused_w2=fw)
-    graph, updates = _insert_wave_impl(
-        graph, provider, wave_ids, wave_vectors, config,
-        return_updates=True, prune_provider=prune_provider,
-    )
-    return graph, provider, updates
 
 
 @partial(jax.jit, static_argnames=("config", "chunk"), donate_argnums=(0,))
@@ -402,30 +315,26 @@ class GraphIndexBuilder:
                     [vectors, jnp.zeros((n_cap - n, d), jnp.float32)], axis=0
                 )
             provider = ExactScoreProvider(vectors=pv, sim=sim)
+            # SQ4-accelerated construction: wave searches AND prune run on
+            # 4-bit codes (400k: 50s vs 80s exact at recall 0.980 vs 0.983);
+            # cleanup and the returned provider stay full-precision
             build_provider = (
                 self._sq4_build_provider(vectors, n_cap, sim)
                 if cfg.build_compression == "sq4"
-                else None
+                else provider
             )
-            if build_provider is not None:
-                pending = _empty_updates(
-                    w, cfg.max_degree, cfg.row_cap, n_cap
-                )
         else:
-            build_provider = None  # explicit providers are used as-is
+            build_provider = provider  # explicit providers are used as-is
         graph = empty_graph(n_cap, cfg)
 
         for start in range(0, n, w):
             ids = np.arange(start, start + w, dtype=np.int32)
             ids = np.where(ids < n, ids, -1)
             wv = vectors[jnp.minimum(jnp.asarray(ids), n - 1)]
-            if build_provider is not None:
-                graph, build_provider, pending = _insert_wave_sq4(
-                    graph, build_provider, provider, jnp.asarray(ids), wv,
-                    pending, cfg,
-                )
-            else:
-                graph = _insert_wave(graph, provider, jnp.asarray(ids), wv, cfg)
+            graph = _insert_wave(
+                graph, build_provider, jnp.asarray(ids), wv, cfg,
+                prune_provider=provider if build_provider is not provider else None,
+            )
 
         if cleanup:
             graph = self.cleanup(graph, provider, vectors)
@@ -434,7 +343,7 @@ class GraphIndexBuilder:
         return graph, provider
 
     def _sq4_build_provider(self, vectors: jax.Array, n_cap: int, sim):
-        """SQ4 provider with zeroed fused tables sized to the build capacity."""
+        """SQ4 working set for construction (augmented rows, no fused tables)."""
         from jvector_tpu.graph.score import SQ4ScoreProvider
         from jvector_tpu.quantization.sq import ScalarQuantization4
 
@@ -449,14 +358,12 @@ class GraphIndexBuilder:
 
         w2, norm2 = sq.node_constants(codes)
         const = norm2 if sim == SimilarityFunction.COSINE else w2
-        mp = codes.shape[1]
-        r_cap = self.config.row_cap
         return SQ4ScoreProvider(
             codes_packed=codes,
             node_w2=w2,
             node_norm2=norm2,
-            fused_packed=jnp.zeros((n_cap, r_cap * mp), jnp.uint8),
-            fused_w2=jnp.zeros((n_cap, r_cap), jnp.float32),
+            fused_packed=jnp.zeros((n_cap, 0), jnp.uint8),
+            fused_w2=jnp.zeros((n_cap, 0), jnp.float32),
             scale=sq.scale,
             offset=sq.offset,
             codes_aug=sq4_aug_rows(codes, const),

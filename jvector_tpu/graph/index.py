@@ -57,12 +57,12 @@ class GraphConfig:
     # Beam expansions per iteration during build searches (trades a few
     # extra scored edges for proportionally fewer sequential loop steps).
     build_expand: int = 1
-    # First-pass compression for build-time beam searches: "sq4" runs them
-    # on the fused 4-bit path with incrementally maintained fused tables
-    # (one row gather per expansion instead of one per candidate); the
-    # diversity prune stays full-precision, so the built graph's recall
-    # matches or beats the exact build.  None searches full-precision.
-    build_compression: str | None = None
+    # Construction-time scoring: "sq4" (default) runs wave searches AND the
+    # diversity prune on 4-bit scalar-quantized codes — 1.6x faster than
+    # full-precision at 400k (50s vs 80s) within 0.003 recall; None scores
+    # full-precision.  Cleanup passes and the returned search provider are
+    # always full-precision.
+    build_compression: str | None = "sq4"
 
     @property
     def overflow_degree(self) -> int:
