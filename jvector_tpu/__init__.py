@@ -45,17 +45,31 @@ from jvector_tpu.ops.similarity import SimilarityFunction  # noqa: E402
 from jvector_tpu.graph import (  # noqa: E402
     GraphConfig,
     GraphIndex,
+    SearchResult,
     build_graph,
+    resume,
     search,
 )
+from jvector_tpu.quantization import (  # noqa: E402
+    BinaryQuantization,
+    NVQuantization,
+    ProductQuantization,
+    ScalarQuantization4,
+)
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "SimilarityFunction",
     "GraphConfig",
     "GraphIndex",
+    "SearchResult",
     "build_graph",
     "search",
+    "resume",
+    "ProductQuantization",
+    "ScalarQuantization4",
+    "BinaryQuantization",
+    "NVQuantization",
     "__version__",
 ]

@@ -201,3 +201,26 @@ def test_backlink_burst_adversarial_fanin():
     res2 = search(graph, provider, jnp.asarray(fq), top_k=10, beam_width=40)
     r2 = recall_at_k(np.asarray(res2.ids), gt2, 10)
     assert r2 >= 0.9, f"far-region recall {r2}"
+
+
+def test_search_empty_and_tiny_graphs():
+    """Edge cases the reference covers in TestVectorGraph: searching an
+    empty graph returns no results; a single-node graph returns it."""
+    from jvector_tpu.graph import ExactScoreProvider
+    from jvector_tpu.graph.index import empty_graph
+
+    cfg = GraphConfig(max_degree=8)
+    g0 = empty_graph(256, cfg)
+    prov = ExactScoreProvider(
+        vectors=jnp.zeros((256, 8), jnp.float32), sim="euclidean"
+    )
+    res = search(g0, prov, jnp.zeros((3, 8)), top_k=5)
+    assert (np.asarray(res.ids) == -1).all()
+
+    one = build_graph(np.ones((1, 8), np.float32), "euclidean", cfg)[0]
+    prov1 = ExactScoreProvider(
+        vectors=jnp.ones((one.capacity, 8), jnp.float32), sim="euclidean"
+    )
+    res1 = search(one, prov1, jnp.ones((2, 8)), top_k=3)
+    ids = np.asarray(res1.ids)
+    assert (ids[:, 0] == 0).all() and (ids[:, 1:] == -1).all()
