@@ -98,7 +98,7 @@ def main() -> None:
 
     # ---- SQ4 fused first pass + exact f32 rerank (TPU-native flagship) ----
     t0 = time.time()
-    sq = ScalarQuantization4.compute(np.asarray(base[:131072]))
+    sq = ScalarQuantization4.compute(base)  # compute() random-samples
     codes = sq.encode(base)
     pad = graph.capacity - codes.shape[0]
     if pad:

@@ -77,7 +77,7 @@ for mode in args.modes.split(","):
     elif mode == "sq4":
         from jvector_tpu.quantization import ScalarQuantization4
 
-        sq = ScalarQuantization4.compute(np.asarray(base[:131072]))
+        sq = ScalarQuantization4.compute(base)
         codes = pad_codes(sq.encode(base))
         providers[mode] = (
             sq.provider_for_graph(codes, graph.base.neighbors, "euclidean"),

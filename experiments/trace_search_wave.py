@@ -41,7 +41,7 @@ if args.mode == "exact":
     prov, rr = exact, None
 elif args.mode == "sq4":
     from jvector_tpu.quantization import ScalarQuantization4
-    sq = ScalarQuantization4.compute(np.asarray(base[:131072]))
+    sq = ScalarQuantization4.compute(base)
     codes = sq.encode(base)
     padn = graph.capacity - codes.shape[0]
     codes = jnp.concatenate([codes, jnp.zeros((padn, codes.shape[1]), jnp.uint8)])

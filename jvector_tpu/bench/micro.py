@@ -83,7 +83,7 @@ def run_micro(n: int = 100_000, dim: int = 128, q: int = 1024, reps: int = 5):
 
     # SQ4 encode + fused edge scoring over a built graph
     t0 = time.time()
-    sq = ScalarQuantization4.compute(np.asarray(base[:131072]))
+    sq = ScalarQuantization4.compute(base)
     sq_codes = sq.encode(base)
     jax.block_until_ready(sq_codes)
     emit("sq4_encode", time.time() - t0, n, "vectors/s")

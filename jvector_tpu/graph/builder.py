@@ -348,7 +348,7 @@ class GraphIndexBuilder:
         from jvector_tpu.quantization.sq import ScalarQuantization4
 
         n = vectors.shape[0]
-        sq = ScalarQuantization4.compute(np.asarray(vectors[:131_072]))
+        sq = ScalarQuantization4.compute(vectors)  # compute() random-samples
         codes = sq.encode(vectors)
         if n_cap > n:
             codes = jnp.concatenate(

@@ -57,11 +57,13 @@ class GraphConfig:
     # Beam expansions per iteration during build searches (trades a few
     # extra scored edges for proportionally fewer sequential loop steps).
     build_expand: int = 1
-    # Construction-time scoring: "sq4" (default) runs wave searches AND the
-    # diversity prune on 4-bit scalar-quantized codes — 1.6x faster than
-    # full-precision at 400k (50s vs 80s) within 0.003 recall; None scores
-    # full-precision.  Cleanup passes and the returned search provider are
-    # always full-precision.
+    # Construction-time scoring: "sq4" (default) runs the wave beam SEARCHES
+    # on 4-bit scalar-quantized codes — 1.6x faster than full-precision at
+    # 400k (50s vs 80s) within 0.003 recall; None scores full-precision.
+    # Candidate rescoring, the diversity prune, stored edge scores, cleanup
+    # passes and the returned search provider are always full-precision
+    # (quantized prunes tie-break near-duplicate clusters apart — see
+    # _insert_wave's docstring).
     build_compression: str | None = "sq4"
 
     @property

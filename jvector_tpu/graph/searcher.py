@@ -190,6 +190,25 @@ def search_layer(
         T = state.history.shape[1]
         if stop_threshold > 0 and state.stale is None:
             state = state._replace(stale=jnp.zeros((Q,), jnp.int32))
+        # Re-open quiescent frontiers: a finished search has every valid
+        # beam slot expanded, so a continuation would terminate on the first
+        # cond() check and a widened beam could never fill its new slots
+        # (paging past the original beam_width returned -1s).  Re-open the
+        # BOTTOM-k valid slots: their neighbors score near the old beam
+        # floor — exactly the evicted-candidate pool the reference's
+        # ``resume():509-547`` mines — so they re-enter as fresh unexpanded
+        # candidates and expansion cascades only into genuinely new work
+        # (re-opening the TOP slots is useless — their neighbors are already
+        # in the beam/history — and re-opening everything costs a full
+        # re-search).  History dedup keeps the re-pops cheap.
+        L_old = init_state.ids.shape[1]
+        k_reopen = max(E, -(-(L - L_old) // R))
+        valid = state.scores > NEG_INF
+        quiescent = ~jnp.any(~state.expanded & valid, axis=1, keepdims=True)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+        vc = jnp.sum(valid, axis=1, keepdims=True)
+        reopen = quiescent & (pos >= vc - k_reopen) & (pos < vc)
+        state = state._replace(expanded=state.expanded & ~reopen)
     else:
         if entry_ids.ndim == 1:
             entry_ids = entry_ids[:, None]
@@ -509,7 +528,13 @@ def resume(
     """
     prev_k = previous.ids.shape[1]
     if beam_width is None:
-        beam_width = max(2 * (top_k + prev_k), 100)
+        if state is not None:
+            # the state already holds a converged beam: only widen enough to
+            # page top_k past prev_k — the continuation then expands just
+            # the marginal frontier instead of re-searching at 2x width
+            beam_width = (3 * (top_k + prev_k) + 1) // 2
+        else:
+            beam_width = max(2 * (top_k + prev_k), 100)
     if state is not None:
         beam_width = max(beam_width, state.ids.shape[1])
     return search(

@@ -86,14 +86,27 @@ class ScalarQuantization4:
         clip_quantile: float = 0.001,
         seed: int = 0,
     ) -> "ScalarQuantization4":
-        """Fit per-dim clipped ranges on a <=128k sample."""
-        vectors = np.asarray(vectors, np.float32)
+        """Fit per-dim clipped ranges on a <=128k UNIFORM RANDOM sample.
+
+        Pass the FULL corpus — never a prefix slice: on cluster- or
+        time-ordered corpora the first 128k rows bias the per-dim quantile
+        fit and recall silently degrades (reference
+        ``ProductQuantization.compute`` Floyd-samples for the same reason,
+        ``ProductQuantization.java:141-179``).  Device arrays are sampled
+        by an on-device gather so only the sample crosses to the host.
+        """
         n, d = vectors.shape
         if n > MAX_TRAINING_SET_SIZE:
-            idx = np.random.default_rng(seed).choice(
-                n, MAX_TRAINING_SET_SIZE, replace=False
+            idx = np.sort(
+                np.random.default_rng(seed).choice(
+                    n, MAX_TRAINING_SET_SIZE, replace=False
+                )
             )
-            vectors = vectors[np.sort(idx)]
+            if isinstance(vectors, jax.Array):
+                vectors = vectors[jnp.asarray(idx)]
+            else:
+                vectors = vectors[idx]
+        vectors = np.asarray(vectors, np.float32)
         lo = np.quantile(vectors, clip_quantile, axis=0)
         hi = np.quantile(vectors, 1.0 - clip_quantile, axis=0)
         d_pad = ((d + 1) // 2) * 2

@@ -75,6 +75,29 @@ def test_true_resume_from_state(built):
     )
 
 
+def test_resume_pages_past_original_beam(built):
+    """Paging beyond the original beam_width must re-open expansion: a
+    quiescent state has every valid slot expanded, so without the frontier
+    re-open the continuation terminates immediately and the widened slots
+    stay -1/-inf (advisor round-2 finding)."""
+    ds, cfg, graph, provider = built
+    q = jnp.asarray(ds.queries)
+    first, state = search(
+        graph, provider, q, top_k=10, beam_width=12, return_state=True
+    )
+    # prev_k + top_k = 20 > the 12 valid beam slots: the old code returned
+    # -1 ids here because no unexpanded capacity remained in the state.
+    more = resume(graph, provider, q, first, top_k=10, state=state)
+    b = np.asarray(more.ids)
+    assert (b >= 0).all(), "continuation past the original beam returned holes"
+    a = np.asarray(first.ids)
+    for row_a, row_b in zip(a, b):
+        assert not set(row_a.tolist()) & set(row_b.tolist())
+    combined = np.concatenate([a, b], axis=1)
+    r = recall_at_k(combined, ds.ground_truth[:, :20], 20)
+    assert r >= 0.8, f"paged-past-beam combined recall {r}"
+
+
 def test_refine_improves_or_holds_recall(built):
     ds, cfg, graph, provider = built
     q = jnp.asarray(ds.queries)
