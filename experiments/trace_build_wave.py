@@ -1,0 +1,143 @@
+"""Per-wave timing breakdown of the fused-SQ4 build (search vs update).
+
+Builds most of the graph normally, then times the two wave programs
+separately in steady state, optionally under jax.profiler.trace.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=400_000)
+    p.add_argument("--dim", type=int, default=128)
+    p.add_argument("--wave", type=int, default=256)
+    p.add_argument("--expand", type=int, default=1)
+    p.add_argument("--timed-waves", type=int, default=60)
+    p.add_argument("--trace-dir", default="")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from jvector_tpu.graph.builder import (
+        GraphIndexBuilder,
+        _wave_search,
+        _wave_update_fused,
+    )
+    from jvector_tpu.graph.index import GraphConfig, bucket_capacity, empty_graph
+    from jvector_tpu.graph.score import ExactScoreProvider
+    from jvector_tpu.ops.similarity import SimilarityFunction
+    from jvector_tpu.util.datasets import synthetic_dataset
+
+    print(f"device={jax.devices()[0]}", flush=True)
+    ds = synthetic_dataset(
+        n=args.n, dim=args.dim, n_queries=8, k=10,
+        n_clusters=max(64, args.n // 500), seed=0,
+    )
+    vectors = jnp.asarray(ds.base, jnp.float32)
+    n, d = vectors.shape
+    cfg = GraphConfig(
+        max_degree=32, ef_construction=100,
+        wave_size=args.wave, build_expand=args.expand,
+    )
+    sim = SimilarityFunction.EUCLIDEAN
+    n_cap = bucket_capacity(n)
+    pv = jnp.concatenate([vectors, jnp.zeros((n_cap - n, d), jnp.float32)])
+    provider = ExactScoreProvider(vectors=pv, sim=sim)
+    builder = GraphIndexBuilder(cfg)
+    bp0 = builder._sq4_build_provider(vectors, n_cap, sim)
+    mp = bp0.codes_packed.shape[1]
+    fused_packed = jnp.zeros((n_cap, cfg.row_cap * mp), jnp.uint8)
+    fused_w2 = jnp.zeros((n_cap, cfg.row_cap), jnp.float32)
+    const = bp0.node_w2
+    codes_packed = bp0.codes_packed
+    graph = empty_graph(n_cap, cfg)
+
+    w = cfg.wave_size
+    starts = list(range(0, n, w))
+    warm = starts[: -args.timed_waves]
+    timed = starts[-args.timed_waves :]
+
+    def one_wave(graph, fused_packed, fused_w2, start, t_search=None, t_update=None, block=False):
+        ids = np.arange(start, start + w, dtype=np.int32)
+        ids = np.where(ids < n, ids, -1)
+        ids_dev = jnp.asarray(ids)
+        wv = vectors[jnp.minimum(ids_dev, n - 1)]
+        bp = dataclasses.replace(bp0, fused_packed=fused_packed, fused_w2=fused_w2)
+        t0 = time.time()
+        beam_ids, beam_scores = _wave_search(
+            graph.base.neighbors, bp, graph.entry_node, ids_dev, wv, cfg
+        )
+        if block:
+            jax.block_until_ready(beam_ids)
+            t_search.append(time.time() - t0)
+            t0 = time.time()
+        graph, fused_packed, fused_w2 = _wave_update_fused(
+            graph, fused_packed, fused_w2, provider, codes_packed, const,
+            ids_dev, wv, beam_ids, beam_scores, cfg,
+        )
+        if block:
+            jax.block_until_ready(graph.base.counts)
+            t_update.append(time.time() - t0)
+        return graph, fused_packed, fused_w2
+
+    t0 = time.time()
+    for i, start in enumerate(warm):
+        graph, fused_packed, fused_w2 = one_wave(graph, fused_packed, fused_w2, start)
+        if i == 20:
+            jax.block_until_ready(graph.base.counts)
+            print(f"compiled+20 waves in {time.time()-t0:.1f}s", flush=True)
+    jax.block_until_ready(graph.base.counts)
+    warm_s = time.time() - t0
+    print(f"warm {len(warm)} waves: {warm_s:.1f}s ({warm_s/max(len(warm),1)*1000:.1f} ms/wave incl compile)", flush=True)
+
+    ts, tu = [], []
+    ctx = (
+        jax.profiler.trace(args.trace_dir)
+        if args.trace_dir
+        else __import__("contextlib").nullcontext()
+    )
+    with ctx:
+        for start in timed:
+            graph, fused_packed, fused_w2 = one_wave(
+                graph, fused_packed, fused_w2, start, ts, tu, block=True
+            )
+    print(
+        f"steady-state over {len(timed)} waves: search {np.mean(ts)*1000:.1f} ms "
+        f"(p50 {np.median(ts)*1000:.1f}) update {np.mean(tu)*1000:.1f} ms "
+        f"(p50 {np.median(tu)*1000:.1f})",
+        flush=True,
+    )
+    total = (np.mean(ts) + np.mean(tu)) * len(starts)
+    print(f"=> projected full-build wave time {total:.1f}s for {len(starts)} waves", flush=True)
+
+    if args.trace_dir:
+        import glob
+        import gzip
+        import json
+        from collections import defaultdict
+
+        files = sorted(
+            glob.glob(f"{args.trace_dir}/**/*.trace.json.gz", recursive=True)
+        )
+        ev = defaultdict(float)
+        cnt = defaultdict(int)
+        with gzip.open(files[-1], "rt") as f:
+            data = json.load(f)
+        for e in data.get("traceEvents", []):
+            if e.get("ph") == "X" and "dur" in e:
+                ev[e.get("name", "?")] += e["dur"]
+                cnt[e.get("name", "?")] += 1
+        for name, dur in sorted(ev.items(), key=lambda kv: -kv[1])[:45]:
+            print(f"{dur/1000:9.2f} ms  x{cnt[name]:<6} {name[:110]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -238,6 +238,236 @@ def _insert_wave(
     )
 
 
+@partial(jax.jit, static_argnames=("config",))
+def _wave_search(
+    graph_neighbors: jax.Array,
+    provider,
+    entry_node: jax.Array,
+    wave_ids: jax.Array,  # int32 [W]
+    wave_vectors: jax.Array,  # float32 [W, D]
+    config: GraphConfig,
+) -> tuple[jax.Array, jax.Array]:
+    """Beam-search a wave against the current graph (read-only program).
+
+    Split out of the insert step so the fused code tables can be DONATED to
+    :func:`_wave_update_fused` and scattered in place: XLA copies a multi-GB
+    buffer that is both captured by a ``while_loop`` and scattered in the
+    same program, so the search (while_loop, read-only) and the update
+    (scatters, no loop over the tables) must be separate programs.
+    """
+    ef = config.ef_construction
+    wave_valid = wave_ids >= 0
+    qstate = provider.prepare(wave_vectors)
+    entries = jnp.where(wave_valid & (entry_node >= 0), entry_node, -1).astype(
+        jnp.int32
+    )
+    beam = search_layer(
+        graph_neighbors,
+        provider,
+        qstate,
+        entries,
+        beam_width=ef,
+        max_iters=config.max_build_iters,
+        expand_per_iter=config.build_expand,
+    )
+    return beam.ids[:, :ef], beam.scores[:, :ef]
+
+
+@partial(jax.jit, static_argnames=("config",), donate_argnums=(0, 1, 2))
+def _wave_update_fused(
+    graph: GraphIndex,
+    fused_packed: jax.Array,  # uint8 [N_cap, R_cap * MP] — DONATED
+    fused_w2: jax.Array,  # f32 [N_cap, R_cap] — DONATED
+    prune_provider,  # full-precision provider (rescore + prune)
+    codes_packed: jax.Array,  # uint8 [N_cap, MP] the build SQ4 codes
+    node_const: jax.Array,  # f32 [N_cap] sim-appropriate per-node constant
+    wave_ids: jax.Array,  # int32 [W]
+    wave_vectors: jax.Array,  # float32 [W, D]
+    beam_ids: jax.Array,  # int32 [W, ef] from _wave_search
+    beam_scores: jax.Array,  # float32 [W, ef] (approximate; rescored here)
+    config: GraphConfig,
+) -> tuple[GraphIndex, jax.Array, jax.Array]:
+    """Insert a searched wave AND keep the fused SQ4 tables slot-exact.
+
+    Mirrors :func:`_insert_wave` steps 2-5, plus: every adjacency write
+    (wave rows, backlink slots, enforce rewrites) is mirrored into
+    ``fused_packed``/``fused_w2`` so the NEXT wave's search gathers one
+    fused row per expansion instead of R code rows (the serve path's ~50x
+    gather cut, applied to construction).  The slot-alignment invariant
+    (fused block j <-> adjacency slot j) is the same one the serve tables
+    rely on.  Candidate rescoring and the prune stay full-precision.
+    """
+    W = wave_ids.shape[0]
+    layer = graph.base
+    N_cap, R_cap = layer.neighbors.shape
+    M = config.max_degree
+    ef = config.ef_construction
+    mp = codes_packed.shape[1]
+    wave_valid = wave_ids >= 0
+    safe_wave = jnp.where(wave_valid, wave_ids, 0)
+
+    # -- 2. intra-wave candidates (replaces insertionsInProgress) --------
+    prune_qstate = prune_provider.prepare(wave_vectors)
+    wave_pair_scores = prune_provider.score(
+        prune_qstate, jnp.broadcast_to(safe_wave[None, :], (W, W))
+    )
+    self_mask = jnp.eye(W, dtype=bool)
+    intra_valid = wave_valid[None, :] & wave_valid[:, None] & ~self_mask
+    intra_scores = jnp.where(intra_valid, wave_pair_scores, NEG_INF)
+    intra_ids = jnp.where(intra_valid, wave_ids[None, :], -1)
+    intra_ids = jnp.broadcast_to(intra_ids, (W, W))
+
+    # -- 3. merge + rescore exact + prune (see _insert_wave for the
+    #       separate-quota / no-score-truncation invariants) --------------
+    if W > ef:
+        intra_top_scores, intra_idx = jax.lax.top_k(intra_scores, ef)
+        intra_top_ids = jnp.take_along_axis(intra_ids, intra_idx, axis=1)
+    else:
+        intra_top_scores, intra_top_ids = intra_scores, intra_ids
+    cand_ids = jnp.concatenate([beam_ids, intra_top_ids], axis=1)
+    cand_scores = jnp.concatenate([beam_scores, intra_top_scores], axis=1)
+    cand_ids, cand_scores = dedup_sorted_desc(cand_ids, cand_scores)
+    valid = cand_ids >= 0
+    rescored = prune_provider.score(prune_qstate, jnp.maximum(cand_ids, 0))
+    cand_scores = jnp.where(valid, rescored, NEG_INF)
+    order = jnp.argsort(-cand_scores, axis=1)
+    cand_ids = jnp.take_along_axis(cand_ids, order, axis=1)
+    cand_scores = jnp.take_along_axis(cand_scores, order, axis=1)
+
+    simmat = _pairwise_from_provider(prune_provider, cand_ids)
+    sel_ids, sel_scores, sel_count = robust_prune(
+        cand_ids, cand_scores, simmat, M, config.alphas
+    )
+
+    # -- 4a. write the wave rows (+ fused mirror) -------------------------
+    pad_cols = R_cap - M
+    row_ids = jnp.concatenate(
+        [sel_ids, jnp.full((W, pad_cols), -1, jnp.int32)], axis=1
+    )
+    row_scores = jnp.concatenate(
+        [sel_scores, jnp.full((W, pad_cols), NEG_INF)], axis=1
+    )
+    scatter_rows = jnp.where(wave_valid, wave_ids, N_cap)
+    neighbors = layer.neighbors.at[scatter_rows].set(row_ids, mode="drop")
+    scores = layer.scores.at[scatter_rows].set(row_scores, mode="drop")
+    counts = layer.counts.at[scatter_rows].set(sel_count, mode="drop")
+
+    def fused_rows_for(ids_rows: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Gather a full fused row image for adjacency rows ``[B, R_cap]``."""
+        ok = ids_rows >= 0
+        safe = jnp.maximum(ids_rows, 0)
+        f_codes = jnp.where(ok[..., None], codes_packed[safe], 0)
+        f_w2 = jnp.where(ok, node_const[safe], 0.0)
+        return f_codes.reshape(ids_rows.shape[0], -1), f_w2
+
+    f_codes, f_w2 = fused_rows_for(row_ids)
+    fused_packed = fused_packed.at[scatter_rows].set(f_codes, mode="drop")
+    fused_w2 = fused_w2.at[scatter_rows].set(f_w2, mode="drop")
+
+    # -- 4b. backlinks (+ fused slot mirror) ------------------------------
+    flat_t = sel_ids.reshape(-1)
+    flat_s = jnp.broadcast_to(wave_ids[:, None], (W, M)).reshape(-1)
+    flat_sc = sel_scores.reshape(-1)
+    bl_valid = (flat_t >= 0) & (flat_s >= 0)
+
+    t_rows = neighbors[jnp.maximum(flat_t, 0)]
+    exists = jnp.any(t_rows == flat_s[:, None], axis=1)
+    bl_valid &= ~exists
+
+    big = jnp.int32(2**30)
+    key = jnp.where(bl_valid, flat_t, big)
+    key_sorted, s_sorted, sc_sorted, valid_sorted = jax.lax.sort(
+        (key, flat_s, flat_sc, bl_valid.astype(jnp.int32)), num_keys=1
+    )
+    pos_idx = jnp.arange(key.shape[0], dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), key_sorted[1:] != key_sorted[:-1]]
+    )
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, pos_idx, 0)
+    )
+    rank = pos_idx - run_start
+
+    t_ok = jnp.where(valid_sorted == 1, key_sorted, 0)
+    slot = counts[t_ok] + rank
+    ok = (valid_sorted == 1) & (slot < R_cap)
+    scatter_t = jnp.where(ok, t_ok, N_cap)
+    scatter_slot = jnp.where(ok, slot, 0)
+    neighbors = neighbors.at[scatter_t, scatter_slot].set(s_sorted, mode="drop")
+    scores = scores.at[scatter_t, scatter_slot].set(sc_sorted, mode="drop")
+    counts = counts.at[jnp.where(ok, t_ok, N_cap)].add(1, mode="drop")
+
+    # Fused mirror for backlink targets: rewrite the FULL fused row of
+    # every unique touched target.  Row-granular scatters keep XLA in plain
+    # row-scatter land — per-slot alternatives lose badly: a 2-D-index
+    # element scatter on [N, R*MP] compiles pathologically (>10 min), and a
+    # [N, R*MP]<->[N*R, MP] flat view materializes 1.5 GB reshape copies
+    # every wave because MP=64 < the 128-lane u8 tile (measured 36 ms/wave
+    # of reshape+copy in the round-3 trace).  The row rewrite is one
+    # [W*M, R_cap] adjacency gather + codes gather (~7 ms/wave).
+    uniq = (valid_sorted == 1) & is_start
+    bl_rows = jnp.where(uniq, key_sorted, N_cap)
+    safe_bl = jnp.minimum(bl_rows, N_cap - 1)
+    r_ids = neighbors[safe_bl]
+    r_ids = jnp.where(
+        jnp.arange(R_cap)[None, :] < counts[safe_bl][:, None], r_ids, -1
+    )
+    bf_codes, bf_w2 = fused_rows_for(r_ids)
+    fused_packed = fused_packed.at[bl_rows].set(bf_codes, mode="drop")
+    fused_w2 = fused_w2.at[bl_rows].set(bf_w2, mode="drop")
+
+    # -- 5. enforce overflow (+ fused row rewrite) ------------------------
+    over_cap = config.overflow_degree
+    touched = jnp.where(bl_valid, flat_t, 0)
+    touched_counts = jnp.where(bl_valid, counts[touched], -1)
+    _, worst_idx = jax.lax.top_k(touched_counts, W)
+    enforce_rows = touched[worst_idx]
+    enforce_mask = counts[enforce_rows] > over_cap
+
+    e_ids = neighbors[enforce_rows]
+    e_scores = scores[enforce_rows]
+    e_ids_m = jnp.where(
+        jnp.arange(R_cap)[None, :] < counts[enforce_rows][:, None], e_ids, -1
+    )
+    e_scores_m = jnp.where(e_ids_m >= 0, e_scores, NEG_INF)
+    e_ids_s, e_scores_s = dedup_sorted_desc(e_ids_m, e_scores_m)
+    e_sim = _pairwise_from_provider(prune_provider, e_ids_s)
+    p_ids, p_scores, p_count = robust_prune(
+        e_ids_s, e_scores_s, e_sim, M, config.alphas
+    )
+    p_row_ids = jnp.concatenate(
+        [p_ids, jnp.full((W, R_cap - M), -1, jnp.int32)], axis=1
+    )
+    p_row_scores = jnp.concatenate(
+        [p_scores, jnp.full((W, R_cap - M), NEG_INF)], axis=1
+    )
+    er = jnp.where(enforce_mask, enforce_rows, N_cap)
+    neighbors = neighbors.at[er].set(p_row_ids, mode="drop")
+    scores = scores.at[er].set(p_row_scores, mode="drop")
+    counts = counts.at[er].set(p_count, mode="drop")
+
+    pf_codes, pf_w2 = fused_rows_for(p_row_ids)
+    fused_packed = fused_packed.at[er].set(pf_codes, mode="drop")
+    fused_w2 = fused_w2.at[er].set(pf_w2, mode="drop")
+
+    # -- bookkeeping ------------------------------------------------------
+    n_new = jnp.sum(wave_valid).astype(jnp.int32)
+    entry = jnp.where(
+        graph.entry_node >= 0,
+        graph.entry_node,
+        jnp.where(n_new > 0, safe_wave[0], -1),
+    ).astype(jnp.int32)
+
+    new_graph = GraphIndex(
+        layers=(GraphLayer(neighbors, scores, counts),) + graph.layers[1:],
+        level_node_ids=graph.level_node_ids,
+        entry_node=entry,
+        num_nodes=graph.num_nodes + n_new,
+        deleted=graph.deleted,
+    )
+    return new_graph, fused_packed, fused_w2
+
+
 @partial(jax.jit, static_argnames=("config", "chunk"), donate_argnums=(0,))
 def _enforce_chunk(
     graph: GraphIndex, provider, start: jax.Array, config: GraphConfig, chunk: int
@@ -327,14 +557,52 @@ class GraphIndexBuilder:
             build_provider = provider  # explicit providers are used as-is
         graph = empty_graph(n_cap, cfg)
 
-        for start in range(0, n, w):
-            ids = np.arange(start, start + w, dtype=np.int32)
-            ids = np.where(ids < n, ids, -1)
-            wv = vectors[jnp.minimum(jnp.asarray(ids), n - 1)]
-            graph = _insert_wave(
-                graph, build_provider, jnp.asarray(ids), wv, cfg,
-                prune_provider=provider if build_provider is not provider else None,
+        if build_provider is not provider:
+            # Fused-SQ4 construction: maintain incremental fused code tables
+            # so every wave search gathers ONE row per expansion (Q*E rows)
+            # instead of one row per scored edge (Q*E*R rows) — row-count-
+            # bound XLA gathers were ~60% of round-2 build time.
+            mp = build_provider.codes_packed.shape[1]
+            fused_packed = jnp.zeros((n_cap, cfg.row_cap * mp), jnp.uint8)
+            fused_w2 = jnp.zeros((n_cap, cfg.row_cap), jnp.float32)
+            const = (
+                build_provider.node_norm2
+                if sim == SimilarityFunction.COSINE
+                else build_provider.node_w2
             )
+            codes_packed = build_provider.codes_packed
+            for start in range(0, n, w):
+                ids = np.arange(start, start + w, dtype=np.int32)
+                ids = np.where(ids < n, ids, -1)
+                ids_dev = jnp.asarray(ids)
+                wv = vectors[jnp.minimum(ids_dev, n - 1)]
+                bp = dataclasses.replace(
+                    build_provider, fused_packed=fused_packed, fused_w2=fused_w2
+                )
+                beam_ids, beam_scores = _wave_search(
+                    graph.base.neighbors, bp, graph.entry_node, ids_dev, wv, cfg
+                )
+                graph, fused_packed, fused_w2 = _wave_update_fused(
+                    graph,
+                    fused_packed,
+                    fused_w2,
+                    provider,
+                    codes_packed,
+                    const,
+                    ids_dev,
+                    wv,
+                    beam_ids,
+                    beam_scores,
+                    cfg,
+                )
+        else:
+            for start in range(0, n, w):
+                ids = np.arange(start, start + w, dtype=np.int32)
+                ids = np.where(ids < n, ids, -1)
+                wv = vectors[jnp.minimum(jnp.asarray(ids), n - 1)]
+                graph = _insert_wave(
+                    graph, build_provider, jnp.asarray(ids), wv, cfg
+                )
 
         if cleanup:
             graph = self.cleanup(graph, provider, vectors)
