@@ -68,6 +68,10 @@ class BeamState(NamedTuple):
     # consecutive iterations whose best new candidate stayed below the
     # caller's threshold (ScoreTracker early-termination state)
     stale: jax.Array = None  # int32 [Q] or None
+    # filtered-search (acceptOrds) result channel: top-K ACCEPTED nodes
+    # found so far, maintained inside the loop (reference resultsQueue)
+    res_ids: jax.Array = None  # int32 [Q, K] or None
+    res_scores: jax.Array = None  # float32 [Q, K] or None
 
 
 def _history_len(
@@ -134,6 +138,7 @@ def _merge_beam(beam_ids, beam_scores, beam_expanded, new_ids, new_scores):
         "unroll",
         "stop_threshold",
         "stop_patience",
+        "result_k",
     ),
 )
 def search_layer(
@@ -149,6 +154,8 @@ def search_layer(
     stop_threshold: float = 0.0,
     stop_patience: int = 32,
     init_state: BeamState | None = None,
+    accept: jax.Array | None = None,  # bool [N]: filtered search when given
+    result_k: int | None = None,  # result-channel width in filtered mode
 ) -> BeamState:
     """Run beam search to quiescence on one adjacency layer.
 
@@ -169,7 +176,12 @@ def search_layer(
     N, R = graph_neighbors.shape
     L = beam_width
     E = expand_per_iter
-    T = _history_len(E, max_iters, L, history_len)
+    filtered = accept is not None
+    K = (result_k or L) if filtered else None
+    # filtered searches expand far past quiescence (they keep going until
+    # topK ACCEPTED results can no longer improve), so the dedup ring gets
+    # twice the default depth
+    T = _history_len(E, max_iters, (2 * L) if filtered else L, history_len)
 
     if init_state is not None:
         state = init_state
@@ -248,7 +260,29 @@ def search_layer(
             stale=jnp.zeros((Q,), jnp.int32) if stop_threshold > 0 else None,
         )
 
+    if filtered and state.res_ids is None:
+        # seed the result channel with any ACCEPTED entry points
+        Q = state.ids.shape[0]
+        acc_e = (state.ids >= 0) & accept[jnp.maximum(state.ids, 0)]
+        rids = jnp.concatenate(
+            [jnp.where(acc_e, state.ids, -1), jnp.full((Q, K), -1, jnp.int32)],
+            axis=1,
+        )
+        rsc = jnp.concatenate(
+            [jnp.where(acc_e, state.scores, NEG_INF), jnp.full((Q, K), NEG_INF)],
+            axis=1,
+        )
+        neg, rids_s = jax.lax.sort((-rsc, rids), dimension=1, num_keys=1)
+        state = state._replace(res_ids=rids_s[:, :K], res_scores=-neg[:, :K])
+
     def cond(s: BeamState):
+        if filtered:
+            # keep going while ANY frontier candidate could still beat the
+            # worst accepted result (reference GraphSearcher stop rule:
+            # best candidate < worst of topK accepted -> stop)
+            floor = s.res_scores[:, -1]
+            live = ~s.expanded & (s.scores > floor[:, None])
+            return jnp.any(live) & (s.iters < max_iters)
         has_unexpanded = jnp.any(~s.expanded & (s.scores > NEG_INF))
         return has_unexpanded & (s.iters < max_iters)
 
@@ -262,6 +296,10 @@ def search_layer(
         sel_scores = jnp.where(~s.expanded, s.scores, NEG_INF)
         top_scores, sel_idx = jax.lax.top_k(sel_scores, E)  # [Q, E]
         active = top_scores > NEG_INF  # [Q, E]
+        if filtered:
+            # don't pop candidates that can no longer improve the accepted
+            # topK (per-query retirement in filtered mode)
+            active &= top_scores > s.res_scores[:, -1:]
         sel_ids = jnp.take_along_axis(s.ids, sel_idx, axis=1)  # [Q, E]
         safe_sel = jnp.where(active, sel_ids, 0)
 
@@ -295,8 +333,29 @@ def search_layer(
             )
         new_ids = jnp.where(fresh, nbrs, -1)
 
+        if filtered:
+            # merge accepted discoveries into the result channel, and PURGE
+            # popped slots from the beam: in filtered mode the beam is a
+            # pure frontier (the reference's candidate queue pops destroy),
+            # so deep searches don't stall on expanded slots crowding the
+            # beam.  History dedup covers revisits of purged nodes.
+            acc_new = fresh & accept[safe_nbrs]
+            rids = jnp.concatenate(
+                [s.res_ids, jnp.where(acc_new, nbrs, -1)], axis=1
+            )
+            rsc = jnp.concatenate(
+                [s.res_scores, jnp.where(acc_new, new_scores, NEG_INF)], axis=1
+            )
+            neg, rids_s = jax.lax.sort((-rsc, rids), dimension=1, num_keys=1)
+            res_ids, res_scores = rids_s[:, :K], -neg[:, :K]
+            beam_ids_in = jnp.where(hit, -1, s.ids)
+            beam_scores_in = jnp.where(hit, NEG_INF, s.scores)
+        else:
+            res_ids, res_scores = s.res_ids, s.res_scores
+            beam_ids_in, beam_scores_in = s.ids, s.scores
+
         ids3, scores3, expanded3 = _merge_beam(
-            s.ids, s.scores, expanded, new_ids, new_scores
+            beam_ids_in, beam_scores_in, expanded, new_ids, new_scores
         )
         stale2 = s.stale
         if stop_threshold > 0:
@@ -315,6 +374,8 @@ def search_layer(
             + jnp.sum(active, axis=1).astype(jnp.int32),
             iters=s.iters + 1,
             stale=stale2,
+            res_ids=res_ids,
+            res_scores=res_scores,
         )
 
     if unroll > 1:
@@ -381,7 +442,7 @@ def _descend_hierarchy(
         "return_state",
     ),
 )
-def search(
+def _search_jit(
     graph: GraphIndex,
     provider,
     queries: jax.Array,  # [Q, D]
@@ -399,17 +460,7 @@ def search(
     return_state: bool = False,
     init_state: BeamState | None = None,
 ) -> SearchResult:
-    """Two-pass wave search (reference ``GraphSearcher.search:222-243``).
-
-    First pass descends the hierarchy (if any) then runs the layer-0 beam
-    with ``provider`` (exact or compressed); if ``reranker`` is given, the
-    top ``rerank_k`` beam entries get exact scores and the final top-k comes
-    from those (``reranking:471-507``).
-
-    With ``return_state=True`` returns ``(SearchResult, BeamState)``; the
-    state can be passed back as ``init_state`` (see :func:`resume`) to pull
-    further results at marginal cost.
-    """
+    """One jitted two-pass wave search (see :func:`search` for the API)."""
     if beam_width is None:
         beam_width = max(top_k, 100)
     if rerank_k is None:
@@ -427,6 +478,22 @@ def search(
     else:
         entries = None
 
+    # Filtered search (selective acceptOrds) runs IN-LOOP: accepted results
+    # accumulate in a dedicated channel while the beam traverses accepted
+    # and non-accepted nodes alike, and the search keeps expanding until no
+    # candidate can beat the worst accepted result (reference
+    # ``GraphSearcher.java:406-457``; exercised by low-cardinality filters
+    # where a post-hoc beam filter collapses to ~selectivity*beam results).
+    if accept is not None and accept.shape[0] < graph.capacity:
+        # corpus-sized masks are padded False over the capacity slack
+        accept = jnp.concatenate(
+            [accept, jnp.zeros(graph.capacity - accept.shape[0], bool)]
+        )
+    in_loop_accept = accept is not None and init_state is None
+    accept_mask = None
+    if in_loop_accept:
+        accept_mask = accept & ~graph.deleted
+
     final = search_layer(
         graph.base.neighbors,
         provider,
@@ -437,7 +504,19 @@ def search(
         expand_per_iter=expand_per_iter,
         stop_threshold=threshold,
         init_state=init_state,
+        accept=accept_mask,
+        result_k=max(rerank_k, top_k) if in_loop_accept else None,
     )
+    if in_loop_accept:
+        # results come from the accepted channel; dedup guards the rare
+        # case of a history-ring overflow re-admitting a node
+        final = final._replace(
+            ids=final.res_ids, scores=final.res_scores
+        )
+        from jvector_tpu.graph.diversity import dedup_sorted_desc
+
+        d_ids, d_scores = dedup_sorted_desc(final.ids, final.scores)
+        final = final._replace(ids=d_ids, scores=d_scores)
 
     def filter_allowed(ids, scores):
         """Drop tombstoned / not-accepted / explicitly-excluded nodes.
@@ -506,6 +585,52 @@ def search(
     return (result, final) if return_state else result
 
 
+def search(
+    graph: GraphIndex,
+    provider,
+    queries: jax.Array,  # [Q, D]
+    top_k: int,
+    beam_width: int | None = None,
+    **kwargs,
+) -> SearchResult:
+    """Two-pass wave search (reference ``GraphSearcher.search:222-243``).
+
+    First pass descends the hierarchy (if any) then runs the layer-0 beam
+    with ``provider`` (exact or compressed); if ``reranker`` is given, the
+    top ``rerank_k`` beam entries get exact scores and the final top-k
+    comes from those (``reranking:471-507``).
+
+    With ``return_state=True`` returns ``(SearchResult, BeamState)``; the
+    state can be passed back as ``init_state`` (see :func:`resume`) to pull
+    further results at marginal cost.
+
+    With ``accept`` (the acceptOrds mask), results come from the IN-LOOP
+    accepted channel and the search expands until topK accepted results
+    can no longer improve.  The wave beam is a bounded frontier (the
+    reference's candidate heap is unbounded), so if a low-cardinality
+    filter starves the frontier before the accepted topK fills, the search
+    retries at double the beam width (up to a cap) — one host round-trip
+    per escalation, and only for the pathological selectivities that need
+    it.  This call therefore BLOCKS when ``accept`` is given; all other
+    paths stay fully asynchronous dispatches.
+    """
+    accept = kwargs.get("accept")
+    if accept is None or kwargs.get("init_state") is not None:
+        return _search_jit(
+            graph, provider, queries, top_k, beam_width=beam_width, **kwargs
+        )
+    L = beam_width or max(top_k, 100)
+    cap = min(graph.capacity, max(16 * L, 1024))
+    while True:
+        out = _search_jit(
+            graph, provider, queries, top_k, beam_width=L, **kwargs
+        )
+        res = out[0] if kwargs.get("return_state") else out
+        if L >= cap or bool((res.ids >= 0).all()):
+            return out
+        L = min(2 * L, cap)
+
+
 def resume(
     graph: GraphIndex,
     provider,
@@ -526,6 +651,11 @@ def resume(
     equivalent re-searches with a wider beam; either way the caller contract
     — more results, none repeated — is identical.
     """
+    if state is not None and state.res_ids is not None:
+        # a filtered-search state's beam is a (purged) frontier, not a
+        # result set — continue filtered searches with the stateless
+        # wider re-search instead
+        state = None
     prev_k = previous.ids.shape[1]
     if beam_width is None:
         if state is not None:
