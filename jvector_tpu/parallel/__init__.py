@@ -18,6 +18,8 @@ from jvector_tpu.parallel.build import (
     ShardedIndex,
     sharded_build,
     sharded_graph_search,
+    save_sharded,
+    load_sharded,
 )
 
 __all__ = [
@@ -29,4 +31,6 @@ __all__ = [
     "ShardedIndex",
     "sharded_build",
     "sharded_graph_search",
+    "save_sharded",
+    "load_sharded",
 ]

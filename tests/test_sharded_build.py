@@ -46,6 +46,59 @@ def test_sharded_search_recall(built):
     assert g.max() < 4000 and (g[g >= 0] >= 0).all()
 
 
+def test_sharded_sq4_two_pass_recall(built):
+    """The default sharded build is the compressed flagship path: SQ4 fused
+    first pass per shard + shard-local exact rerank gated by the cross-shard
+    approximate floor (VERDICT r2 item 3)."""
+    ds, mesh, idx = built
+    assert idx.search_providers is not None, "sq4 build must attach providers"
+    gids, scores = sharded_graph_search(
+        idx, jnp.asarray(ds.queries), mesh, top_k=10, beam_width=32, rerank_k=32
+    )
+    r = recall_at_k(np.asarray(gids), ds.ground_truth, 10)
+    assert r >= 0.95, f"sharded sq4 two-pass recall {r}"
+
+
+def test_sharded_exact_build_still_works():
+    ds = synthetic_dataset(n=2000, dim=16, n_queries=16, k=5, seed=23)
+    mesh = make_mesh(8, "shard")
+    cfg = GraphConfig(max_degree=8, ef_construction=24, wave_size=64)
+    idx = sharded_build(ds.base, mesh, cfg, ds.similarity, build_compression=None)
+    assert idx.search_providers is None
+    gids, _ = sharded_graph_search(
+        idx, jnp.asarray(ds.queries), mesh, top_k=5, beam_width=24
+    )
+    r = recall_at_k(np.asarray(gids), ds.ground_truth, 5)
+    assert r >= 0.9
+
+
+def test_sharded_save_load_round_trip(built, tmp_path_factory):
+    """One container per shard + manifest -> reopened index serves at
+    recall parity (reference: per-segment OnDiskGraphIndex lifecycle)."""
+    from jvector_tpu.parallel import load_sharded, save_sharded
+
+    ds, mesh, idx = built
+    d = tmp_path_factory.mktemp("sharded_idx")
+    save_sharded(idx, d)
+    idx2 = load_sharded(d, mesh)
+    assert idx2.n_shards == idx.n_shards
+    assert idx2.n_total == idx.n_total
+    assert idx2.search_providers is not None
+    q = jnp.asarray(ds.queries)
+    g1, s1 = sharded_graph_search(idx, q, mesh, top_k=10, beam_width=32)
+    g2, s2 = sharded_graph_search(idx2, q, mesh, top_k=10, beam_width=32)
+    assert (np.asarray(g1) == np.asarray(g2)).mean() > 0.99
+    r = recall_at_k(np.asarray(g2), ds.ground_truth, 10)
+    assert r >= 0.95, f"reloaded sharded recall {r}"
+    # a single shard file is also directly loadable as an ordinary index
+    from jvector_tpu.disk.format import load_index
+
+    one = load_index(d / "shard0000.jvtpu")
+    assert one.meta["shard"] == 0
+    g, feats = one.to_device()
+    assert "fused_sq4" in feats and "inline_vectors" in feats
+
+
 def test_sharded_ragged_corpus():
     """Corpus size not divisible by the mesh: final shard is ragged."""
     ds = synthetic_dataset(n=1003, dim=16, n_queries=10, k=5, seed=29)
