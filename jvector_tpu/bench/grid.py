@@ -34,6 +34,10 @@ class GridConfig:
     compression: list[dict | None] = dataclasses.field(
         default_factory=lambda: [None]
     )  # e.g. {"type": "PQ", "mFactor": 8, "k": 256, "anisotropicThreshold": -1.0}
+    # search-time compression DECOUPLED from construction (reference YAML
+    # ``search.compression``): None -> serve with the construction entry
+    # (legacy behavior); a list -> full product of build x serve compression
+    search_compression: list[dict | None] | None = None
     reranking: list[str] = dataclasses.field(default_factory=lambda: ["FP32"])
     top_k_overquery: dict[int, list[float]] = dataclasses.field(
         default_factory=lambda: {10: [1.0, 2.0, 5.0, 10.0], 100: [1.0, 2.0]}
@@ -46,6 +50,9 @@ class GridConfig:
         s = y.get("search", {})
         comp = c.get("compression") or [None]
         comp = [None if x in (None, "none") else x for x in comp]
+        scomp = s.get("compression")
+        if scomp is not None:
+            scomp = [None if x in (None, "none") else x for x in scomp]
         tko = {
             int(k): [float(v) for v in vs]
             for k, vs in (s.get("topKOverquery") or {10: [2.0]}).items()
@@ -59,25 +66,71 @@ class GridConfig:
             add_hierarchy=[bool(x) for x in c.get("addHierarchy", [True])],
             refine_final_graph=[bool(x) for x in c.get("refineFinalGraph", [False])],
             compression=comp,
+            search_compression=scomp,
             reranking=[str(x) for x in c.get("reranking", ["FP32"])],
             top_k_overquery=tko,
         )
 
 
 class Grid:
-    """Build + evaluate every configuration over a dataset."""
+    """Build + evaluate every configuration over a dataset.
 
-    def __init__(self, dataset: DataSet, config: GridConfig):
+    ``compressor_cache_dir`` enables the trained-compressor cache across
+    rows/runs (the reference's ``Grid.java`` pqCacheDir + atomic commit):
+    identical (dataset, compressor-config) keys load instead of retraining.
+    """
+
+    def __init__(
+        self,
+        dataset: DataSet,
+        config: GridConfig,
+        compressor_cache_dir: str | None = None,
+    ):
         self.dataset = dataset
         self.config = config
         self.rows: list[dict[str, Any]] = []
+        self._cache = None
+        if compressor_cache_dir:
+            from jvector_tpu.quantization import CompressorCache
+
+            self._cache = CompressorCache(compressor_cache_dir)
 
     # -- internals -----------------------------------------------------------
 
-    def _build(self, out_degree, efc, overflow, hierarchy, refine=False):
+    def _trained(self, kind: str, params: dict, train):
+        """Train a compressor, via the cache when one is configured."""
+        if self._cache is None:
+            return train()
+        ds = self.dataset
+        key = {
+            "dataset": ds.name,
+            "n": int(ds.base.shape[0]),
+            "dim": int(ds.base.shape[1]),
+            "kind": kind,
+            **params,
+        }
+        return self._cache.get_or_train(key, train)
+
+    def _build(self, out_degree, efc, overflow, hierarchy, refine=False, constr=None):
+        """Build the graph; ``constr`` is the CONSTRUCTION-time compression
+        (reference BuildScoreProvider choice: pq/bqBuildScoreProvider).
+
+        ``None``/"SQ4" use the default build (SQ4-searched, exact-pruned
+        waves — quality-equivalent to an exact build, see builder.py);
+        "PQ"/"BQ" score construction with the compressed provider, the
+        reference's pq/bq build-score-provider semantics.
+        """
+        import jax
+        import jax.numpy as jnp
+
         from jvector_tpu.graph import GraphConfig, build_graph
         from jvector_tpu.graph.builder import refine_graph
+        from jvector_tpu.graph.index import bucket_capacity
+        from jvector_tpu.graph.score import ExactScoreProvider
+        from jvector_tpu.ops.similarity import SimilarityFunction
 
+        ds = self.dataset
+        ctype = None if constr is None else str(constr.get("type", "PQ")).upper()
         cfg = GraphConfig(
             max_degree=out_degree,
             ef_construction=efc,
@@ -85,17 +138,56 @@ class Grid:
             add_hierarchy=hierarchy,
         )
         t0 = time.time()
-        graph, provider = build_graph(
-            self.dataset.base, self.dataset.similarity, cfg
-        )
-        if refine:
-            import jax.numpy as jnp
+        if ctype in (None, "NONE", "SQ4"):
+            graph, provider = build_graph(ds.base, ds.similarity, cfg)
+        else:
+            base = jnp.asarray(ds.base, jnp.float32)
+            n, d = base.shape
+            n_cap = bucket_capacity(n)
 
-            graph = refine_graph(
-                graph, provider, jnp.asarray(self.dataset.base), cfg
+            def pad_rows(a):
+                if n_cap > a.shape[0]:
+                    a = jnp.concatenate(
+                        [a, jnp.zeros((n_cap - a.shape[0],) + a.shape[1:], a.dtype)]
+                    )
+                return a
+
+            if ctype == "PQ":
+                from jvector_tpu.quantization import ProductQuantization
+
+                m = constr.get("m") or max(1, d // int(constr.get("mFactor", 8)))
+                pq = self._trained(
+                    "pq",
+                    {"m": int(m), "k": int(constr.get("k", 256)),
+                     "center": bool(constr.get("centerData", False)),
+                     "aniso": float(constr.get("anisotropicThreshold", -1.0))},
+                    lambda: ProductQuantization.compute(
+                        ds.base, m=int(m), clusters=int(constr.get("k", 256)),
+                        globally_center=bool(constr.get("centerData", False)),
+                        anisotropic_threshold=float(
+                            constr.get("anisotropicThreshold", -1.0)
+                        ),
+                    ),
+                )
+                build_prov = pq.provider(pad_rows(pq.encode(base)), ds.similarity)
+            elif ctype == "BQ":
+                from jvector_tpu.quantization import BinaryQuantization
+
+                bq = self._trained(
+                    "bq", {}, lambda: BinaryQuantization.compute(ds.base)
+                )
+                build_prov = bq.provider(pad_rows(bq.encode(base)))
+            else:
+                raise ValueError(f"unknown construction compression {ctype}")
+            graph, _ = build_graph(ds.base, ds.similarity, cfg, provider=build_prov)
+            pv = jnp.concatenate(
+                [base, jnp.zeros((n_cap - n, d), jnp.float32)]
+            ) if n_cap > n else base
+            provider = ExactScoreProvider(
+                vectors=pv, sim=SimilarityFunction.parse(ds.similarity)
             )
-        import jax
-
+        if refine:
+            graph = refine_graph(graph, provider, jnp.asarray(ds.base), cfg)
         jax.block_until_ready(graph.base.neighbors)
         return graph, provider, time.time() - t0
 
@@ -111,25 +203,35 @@ class Grid:
             m = comp.get("m")
             if m is None:
                 m = max(1, ds.dimension // int(comp.get("mFactor", 8)))
-            pq = ProductQuantization.compute(
-                ds.base,
-                m=int(m),
-                clusters=int(comp.get("k", 256)),
-                globally_center=bool(comp.get("centerData", False)),
-                anisotropic_threshold=float(comp.get("anisotropicThreshold", -1.0)),
+            pq = self._trained(
+                "pq",
+                {"m": int(m), "k": int(comp.get("k", 256)),
+                 "center": bool(comp.get("centerData", False)),
+                 "aniso": float(comp.get("anisotropicThreshold", -1.0))},
+                lambda: ProductQuantization.compute(
+                    ds.base,
+                    m=int(m),
+                    clusters=int(comp.get("k", 256)),
+                    globally_center=bool(comp.get("centerData", False)),
+                    anisotropic_threshold=float(
+                        comp.get("anisotropicThreshold", -1.0)
+                    ),
+                ),
             )
             prov = pq.provider(pq.encode(ds.base), ds.similarity)
         elif ctype == "BQ":
             from jvector_tpu.quantization import BinaryQuantization
 
-            bq = BinaryQuantization.compute(ds.base)
+            bq = self._trained("bq", {}, lambda: BinaryQuantization.compute(ds.base))
             prov = bq.provider(bq.encode(ds.base))
         elif ctype == "SQ4":
             import jax.numpy as jnp
 
             from jvector_tpu.quantization import ScalarQuantization4
 
-            sq = ScalarQuantization4.compute(ds.base)
+            sq = self._trained(
+                "sq4", {}, lambda: ScalarQuantization4.compute(ds.base)
+            )
             codes = sq.encode(ds.base)
             pad = graph.capacity - codes.shape[0]
             if pad:
@@ -146,9 +248,14 @@ class Grid:
             from jvector_tpu.quantization import ProductQuantization
 
             m = comp.get("m") or max(1, ds.dimension // int(comp.get("mFactor", 8)))
-            pq = ProductQuantization.compute(
-                ds.base, m=int(m), clusters=int(comp.get("k", 256)),
-                globally_center=bool(comp.get("centerData", False)),
+            pq = self._trained(
+                "pq",
+                {"m": int(m), "k": int(comp.get("k", 256)),
+                 "center": bool(comp.get("centerData", False)), "aniso": -1.0},
+                lambda: ProductQuantization.compute(
+                    ds.base, m=int(m), clusters=int(comp.get("k", 256)),
+                    globally_center=bool(comp.get("centerData", False)),
+                ),
             )
             codes = pq.encode(ds.base)
             pad = graph.capacity - codes.shape[0]
@@ -176,7 +283,9 @@ class Grid:
             from jvector_tpu.quantization import NVQuantization
 
             t0 = time.time()
-            nvq = NVQuantization.compute(self.dataset.base)
+            nvq = self._trained(
+                "nvq", {}, lambda: NVQuantization.compute(self.dataset.base)
+            )
             prov = nvq.encode(self.dataset.base).provider(self.dataset.similarity)
             return prov, time.time() - t0
         if kind in ("NONE", "OFF"):
@@ -202,7 +311,7 @@ class Grid:
                       "timestamp", "config_hash")
             if k in meta
         }
-        for od, efc, ov, hier, refine, comp, rr in itertools.product(
+        for od, efc, ov, hier, refine, constr, rr in itertools.product(
             cfg.out_degree,
             cfg.ef_construction,
             cfg.neighbor_overflow,
@@ -211,85 +320,114 @@ class Grid:
             cfg.compression,
             cfg.reranking,
         ):
-            graph, exact_provider, build_s = self._build(od, efc, ov, hier, refine)
-            first_pass, ctype, quant_s = self._compression_provider(
-                graph, exact_provider, comp
+            graph, exact_provider, build_s = self._build(
+                od, efc, ov, hier, refine, constr
             )
-            # a reranker is meaningful even without first-pass compression
-            # (e.g. exact first pass + NVQ reranking); only an exact rerank
-            # of an already-exact first pass is redundant and skipped
-            rr_redundant = comp is None and rr.upper() in (
-                "FP32",
-                "F32",
-                "EXACT",
-                "NONE",
-                "OFF",
+            # search.compression decouples serve-time compression from the
+            # construction entry (reference YAML search.compression); when
+            # unset, serve with the construction compression (legacy rows)
+            serve_comps = (
+                cfg.search_compression
+                if cfg.search_compression is not None
+                else [constr]
             )
-            reranker, rerank_quant_s = (
-                (None, 0.0) if rr_redundant else self._reranker(exact_provider, rr)
-            )
+            for comp in serve_comps:
+                self._run_serve_rows(
+                    graph, exact_provider, build_s, od, efc, ov, hier, refine,
+                    constr, comp, rr, queries, provenance, verbose,
+                )
+        return self.rows
 
-            for top_k, oqs in cfg.top_k_overquery.items():
-                for oq in oqs:
-                    beam = max(int(top_k * oq), top_k)
-                    w = min(cfg.wave_size, queries.shape[0])
-                    waves = [
-                        queries[i : i + w]
-                        for i in range(0, queries.shape[0] - w + 1, w)
-                    ]
-                    run1 = lambda q: search(
-                        graph,
-                        first_pass,
-                        q,
-                        top_k=top_k,
-                        beam_width=beam,
-                        rerank_k=beam if reranker is not None else None,
-                        reranker=reranker,
-                    )
-                    res = run1(waves[0])
-                    res.ids.block_until_ready()  # compile warmup
-                    secs, sizes, all_ids, visited = [], [], [], []
-                    for qv in waves:
-                        t0 = time.time()
-                        r = run1(qv)
-                        r.ids.block_until_ready()
-                        secs.append(time.time() - t0)
-                        sizes.append(qv.shape[0])
-                        all_ids.append(np.asarray(r.ids))
-                        visited.append(np.asarray(r.visited_count))
-                    ids = np.concatenate(all_ids, axis=0)
-                    n_eval = min(ids.shape[0], ds.ground_truth.shape[0])
-                    acc = AccuracyMetrics.compute(
-                        ids[:n_eval], ds.ground_truth, min(top_k, ds.ground_truth.shape[1])
-                    )
-                    lat = LatencyStats.compute(secs, sizes)
-                    row = {
-                        "dataset": ds.name,
-                        "outDegree": od,
-                        "efConstruction": efc,
-                        "neighborOverflow": ov,
-                        "addHierarchy": hier,
-                        "refineFinalGraph": refine,
-                        "compression": ctype or "NONE",
-                        "reranking": rr if reranker is not None else "NONE",
-                        "topK": top_k,
-                        "overquery": oq,
-                        "recall": round(acc.recall, 4),
-                        "MAP": round(acc.map, 4),
-                        "qps_avg": round(lat.qps_avg, 1),
-                        "qps_median": round(lat.qps_median, 1),
-                        "qps_max": round(lat.qps_max, 1),
-                        "latency_avg_ms": round(lat.avg_ms, 2),
-                        "latency_std_ms": round(lat.std_ms, 2),
-                        "latency_p999_ms": round(lat.p999_ms, 2),
-                        "mean_visited": round(float(np.mean(np.concatenate(visited))), 1),
-                        "index_build_time_s": round(build_s, 2),
-                        "quant_time_s": round(quant_s + rerank_quant_s, 2),
-                        **provenance,
-                    }
-                    self.rows.append(row)
-                    if verbose:
-                        print(json.dumps(row))
+    def _run_serve_rows(
+        self, graph, exact_provider, build_s, od, efc, ov, hier, refine,
+        constr, comp, rr, queries, provenance, verbose,
+    ):
+        from jvector_tpu.graph import search
+        import numpy as np
+
+        ds = self.dataset
+        cfg = self.config
+        first_pass, ctype, quant_s = self._compression_provider(
+            graph, exact_provider, comp
+        )
+        # a reranker is meaningful even without first-pass compression
+        # (e.g. exact first pass + NVQ reranking); only an exact rerank
+        # of an already-exact first pass is redundant and skipped
+        rr_redundant = comp is None and rr.upper() in (
+            "FP32",
+            "F32",
+            "EXACT",
+            "NONE",
+            "OFF",
+        )
+        reranker, rerank_quant_s = (
+            (None, 0.0) if rr_redundant else self._reranker(exact_provider, rr)
+        )
+
+        for top_k, oqs in cfg.top_k_overquery.items():
+            for oq in oqs:
+                beam = max(int(top_k * oq), top_k)
+                w = min(cfg.wave_size, queries.shape[0])
+                waves = [
+                    queries[i : i + w]
+                    for i in range(0, queries.shape[0] - w + 1, w)
+                ]
+                run1 = lambda q: search(
+                    graph,
+                    first_pass,
+                    q,
+                    top_k=top_k,
+                    beam_width=beam,
+                    rerank_k=beam if reranker is not None else None,
+                    reranker=reranker,
+                )
+                res = run1(waves[0])
+                res.ids.block_until_ready()  # compile warmup
+                secs, sizes, all_ids, visited = [], [], [], []
+                for qv in waves:
+                    t0 = time.time()
+                    r = run1(qv)
+                    r.ids.block_until_ready()
+                    secs.append(time.time() - t0)
+                    sizes.append(qv.shape[0])
+                    all_ids.append(np.asarray(r.ids))
+                    visited.append(np.asarray(r.visited_count))
+                ids = np.concatenate(all_ids, axis=0)
+                n_eval = min(ids.shape[0], ds.ground_truth.shape[0])
+                acc = AccuracyMetrics.compute(
+                    ids[:n_eval], ds.ground_truth, min(top_k, ds.ground_truth.shape[1])
+                )
+                lat = LatencyStats.compute(secs, sizes)
+                row = {
+                    "dataset": ds.name,
+                    "outDegree": od,
+                    "efConstruction": efc,
+                    "neighborOverflow": ov,
+                    "addHierarchy": hier,
+                    "refineFinalGraph": refine,
+                    "buildCompression": (
+                        str(constr.get("type", "PQ")).upper() if constr else "NONE"
+                    ),
+                    "compression": ctype or "NONE",
+                    "reranking": rr if reranker is not None else "NONE",
+                    "topK": top_k,
+                    "overquery": oq,
+                    "recall": round(acc.recall, 4),
+                    "MAP": round(acc.map, 4),
+                    "qps_avg": round(lat.qps_avg, 1),
+                    "qps_median": round(lat.qps_median, 1),
+                    "qps_max": round(lat.qps_max, 1),
+                    "latency_avg_ms": round(lat.avg_ms, 2),
+                    "latency_std_ms": round(lat.std_ms, 2),
+                    "latency_p999_ms": round(lat.p999_ms, 2),
+                    "mean_visited": round(float(np.mean(np.concatenate(visited))), 1),
+                    "index_build_time_s": round(build_s, 2),
+                    "quant_time_s": round(quant_s + rerank_quant_s, 2),
+                    **provenance,
+                }
+                self.rows.append(row)
+                if verbose:
+                    print(json.dumps(row))
         return self.rows
 
     # -- reporting (reference: ExperimentsCsvWriter / JsonlWriter) -------------

@@ -10,8 +10,13 @@ score factories produce the provider pytrees in ``jvector_tpu.graph.score``.
 from jvector_tpu.quantization.kmeans import kmeans, kmeans_pp_init
 from jvector_tpu.quantization.pq import ProductQuantization
 from jvector_tpu.quantization.bq import BinaryQuantization
-from jvector_tpu.quantization.nvq import NVQuantization
+from jvector_tpu.quantization.nvq import NVQuantization, NVQVectors
 from jvector_tpu.quantization.sq import ScalarQuantization4
+from jvector_tpu.quantization.serialize import (
+    CompressorCache,
+    load_compressor,
+    save_compressor,
+)
 
 __all__ = [
     "kmeans",
@@ -19,5 +24,9 @@ __all__ = [
     "ProductQuantization",
     "BinaryQuantization",
     "NVQuantization",
+    "NVQVectors",
     "ScalarQuantization4",
+    "CompressorCache",
+    "load_compressor",
+    "save_compressor",
 ]

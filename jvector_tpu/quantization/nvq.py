@@ -170,6 +170,38 @@ class NVQVectors:
     def provider(self, sim: SimilarityFunction | str) -> "NVQScoreProvider":
         return NVQScoreProvider(vectors=self, sim=SimilarityFunction.parse(sim))
 
+    # -- on-disk feature round trip (reference ``NVQ.java:36-110``: the
+    #    NVQ_VECTORS feature stores codes+params inline and reconstructs
+    #    the reranker from the loaded index via ``NVQ.rerankerFor``) -------
+
+    def feature_arrays(self) -> dict[str, "np.ndarray"]:
+        """Arrays for ``write_index(features={FeatureId.NVQ_VECTORS: ...})``."""
+        return {
+            "codes": np.asarray(self.codes),
+            "params": np.asarray(self.params),
+            "mean": np.asarray(self.nvq.mean),
+            "dims": np.asarray(
+                [self.nvq.original_dim, self.nvq.num_subvectors, self.nvq.bits],
+                np.int32,
+            ),
+        }
+
+    @staticmethod
+    def from_feature_arrays(arrays: dict) -> "NVQVectors":
+        """Rebuild from a loaded index's NVQ_VECTORS feature dict."""
+        dims = np.asarray(arrays["dims"])
+        nvq = NVQuantization(
+            mean=jnp.asarray(np.asarray(arrays["mean"])),
+            original_dim=int(dims[0]),
+            num_subvectors=int(dims[1]),
+            bits=int(dims[2]),
+        )
+        return NVQVectors(
+            codes=jnp.asarray(np.asarray(arrays["codes"])),
+            params=jnp.asarray(np.asarray(arrays["params"])),
+            nvq=nvq,
+        )
+
 
 @partial(_register, data_fields=["vectors"], meta_fields=["sim"])
 @dataclasses.dataclass(frozen=True)
