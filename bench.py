@@ -90,7 +90,7 @@ def main() -> None:
     gt = exact_ground_truth(base, queries[: args.gt_queries], args.top_k)
 
     # ---- build ------------------------------------------------------------
-    cfg = GraphConfig(max_degree=32, ef_construction=100, wave_size=256)
+    cfg = GraphConfig(max_degree=32, ef_construction=100)
     t0 = time.time()
     graph, exact_provider = build_graph(base, "euclidean", cfg)
     jax.block_until_ready(graph.base.neighbors)

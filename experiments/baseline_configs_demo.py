@@ -52,7 +52,29 @@ print(json.dumps({"config": "deep1M-like anisoPQ fused ADC + f32 rerank",
                   "n": N, "dim": D, "build_s": round(build_s,1),
                   "quant_s": round(quant_s,1), "beam": b,
                   "recall": round(float(r),4), "qps": round(qps,1)}), flush=True)
-del graph, exact, prov, fused, codes, bj
+del prov, fused, codes
+
+# ---- config 3 FLAGSHIP serve: anisotropic SQ4 (SCANN coordinate descent
+# over scalar levels) on the fused arithmetic-ADC path + exact rerank.
+# Table-gather ADC (the LUT row above) is VPU-bound on TPU; anisotropic
+# SQ4 keeps the anisotropic-training benefit at flagship speed.
+from jvector_tpu.quantization import ScalarQuantization4
+t0 = time.time()
+sq = ScalarQuantization4.compute(base)
+acodes = sq.encode_anisotropic(base, threshold=0.2)
+pad = graph.capacity - acodes.shape[0]
+acodes = jnp.concatenate([acodes, jnp.zeros((pad, acodes.shape[1]), jnp.uint8)])
+prov_a = sq.provider_for_graph(acodes, graph.base.neighbors, "dot_product")
+jax.block_until_ready(prov_a.fused_packed)
+quant_sa = time.time()-t0
+def run3a(q, b):
+    return search(graph, prov_a, q, top_k=10, beam_width=b, rerank_k=b, reranker=exact)
+b, r, qps = operating(run3a, qd, gt)
+print(json.dumps({"config": "deep1M-like anisoSQ4 fused + f32 rerank (flagship serve)",
+                  "n": N, "dim": D, "build_s": round(build_s,1),
+                  "quant_s": round(quant_sa,1), "beam": b,
+                  "recall": round(float(r),4), "qps": round(qps,1)}), flush=True)
+del graph, exact, prov_a, acodes, bj
 
 # ---- config 4: ada-002-like (1536d), BQ first pass + NVQ rerank
 N4, D4 = 200_000, 1536

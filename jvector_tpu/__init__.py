@@ -32,6 +32,29 @@ def _enable_persistent_compile_cache() -> None:
                 "JVTPU_CACHE_DIR",
                 _os.path.join(_os.path.expanduser("~"), ".jvector_tpu_cache"),
             )
+            # Partition the cache by host CPU fingerprint: XLA:CPU cache
+            # entries embed AOT-compiled kernels, and loading entries built
+            # on a host with different CPU features SIGSEGVs/SIGILLs inside
+            # the compiler (observed when a cache written by a previous
+            # avx512-variant VM was reused — cpu_aot_loader warns about
+            # exactly this).  TPU entries are target-keyed by XLA already,
+            # but the subdirectory costs nothing and is always safe.
+            try:
+                import hashlib
+                import platform
+
+                flags = ""
+                with open("/proc/cpuinfo") as f:
+                    for line in f:
+                        if line.startswith("flags"):
+                            flags = " ".join(sorted(line.split(":")[1].split()))
+                            break
+                fp = hashlib.sha256(
+                    (platform.machine() + flags).encode()
+                ).hexdigest()[:12]
+                cache = _os.path.join(cache, f"host-{fp}")
+            except OSError:
+                pass
             _os.makedirs(cache, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -213,66 +213,121 @@ class HostGraphIndex:
         expand: int = 4,
         max_iters: int = 200,
         rerank=None,  # HostVectorStore or None
+        pipeline: int = 2,
     ) -> SearchResult:
-        """Wave beam search streaming graph rows from host per iteration."""
+        """Wave beam search streaming graph rows from host per iteration.
+
+        ``pipeline`` splits the query wave into that many phase-shifted
+        sub-waves: while one lane's jitted step runs on the device, the
+        OTHER lane's rows are gathered on the host, so the host "disk
+        read" overlaps device compute instead of strictly alternating
+        (the reference gets the same overlap from per-searcher reader
+        threads, ``OnDiskGraphIndex.View:522-645``).  ``pipeline=1``
+        restores the serial loop.
+        """
+        from jvector_tpu.util.native import gather_rows
+
         scorer = SQ4StreamScorer(
             scale=jnp.asarray(self.scale),
             offset=jnp.asarray(self.offset),
             sim=self.sim,
         )
-        qstate = scorer.prepare(jnp.asarray(queries))
+        queries = jnp.asarray(queries)
         Q = queries.shape[0]
         L = beam_width
         T = _history_len(expand, max_iters, L, None)
-
-        # seed: score the entry node's code on device
-        e_k = jnp.asarray(self.codes_packed[self.entry_node][None, None])  # [1,1,MP]
-        e_w2 = jnp.asarray(self.node_const[self.entry_node].reshape(1, 1))
-        e_score = scorer.score_rows(
-            qstate, jnp.broadcast_to(e_k, (Q, 1, e_k.shape[-1])),
-            jnp.broadcast_to(e_w2, (Q, 1)),
-        )  # [Q, 1]
-        ids0 = jnp.full((Q, L), -1, jnp.int32).at[:, 0].set(self.entry_node)
-        scores0 = jnp.full((Q, L), NEG_INF).at[:, 0].set(e_score[:, 0])
-        state = BeamState(
-            ids=ids0,
-            scores=scores0,
-            expanded=jnp.zeros((Q, L), bool),
-            history=jnp.full((Q, T), -1, jnp.int32),
-            visited_count=jnp.ones((Q,), jnp.int32),
-            expanded_count=jnp.zeros((Q,), jnp.int32),
-            iters=jnp.int32(0),
-            stale=None,
-        )
-
         R = self.neighbors.shape[1]
         mp = self.fused_packed.shape[1] // R
-        sel_np = np.full((Q, expand), -1, np.int32)
-        nbrs_d = jnp.full((Q, expand, R), -1, jnp.int32)
-        rows_d = jnp.zeros((Q, expand, R, mp), jnp.uint8)
-        w2_d = jnp.zeros((Q, expand, R), jnp.float32)
+        n_lanes = max(1, min(pipeline, Q))
+        # balanced contiguous lane split (equal sizes share one compile)
+        cuts = [Q * i // n_lanes for i in range(n_lanes + 1)]
+
+        e_k = jnp.asarray(self.codes_packed[self.entry_node][None, None])  # [1,1,MP]
+        e_w2 = jnp.asarray(self.node_const[self.entry_node].reshape(1, 1))
+
+        class _Lane:
+            pass
+
+        lanes = []
+        for a, b in zip(cuts[:-1], cuts[1:]):
+            ln = _Lane()
+            ln.a, ln.b = a, b
+            qn = b - a
+            ln.qstate = scorer.prepare(queries[a:b])
+            e_score = scorer.score_rows(
+                ln.qstate,
+                jnp.broadcast_to(e_k, (qn, 1, e_k.shape[-1])),
+                jnp.broadcast_to(e_w2, (qn, 1)),
+            )
+            ln.state = BeamState(
+                ids=jnp.full((qn, L), -1, jnp.int32).at[:, 0].set(self.entry_node),
+                scores=jnp.full((qn, L), NEG_INF).at[:, 0].set(e_score[:, 0]),
+                expanded=jnp.zeros((qn, L), bool),
+                history=jnp.full((qn, T), -1, jnp.int32),
+                visited_count=jnp.ones((qn,), jnp.int32),
+                expanded_count=jnp.zeros((qn,), jnp.int32),
+                iters=jnp.int32(0),
+                stale=None,
+            )
+            ln.done = False
+            # prologue dispatch: merge nothing, pop the entry
+            ln.state, ln.sel_dev = _host_step(
+                ln.state,
+                scorer,
+                ln.qstate,
+                jnp.full((qn, expand), -1, jnp.int32),
+                jnp.full((qn, expand, R), -1, jnp.int32),
+                jnp.zeros((qn, expand, R, mp), jnp.uint8),
+                jnp.zeros((qn, expand, R), jnp.float32),
+                expand,
+            )
+            lanes.append(ln)
 
         for _ in range(max_iters):
-            state, sel = _host_step(
-                state, scorer, qstate, jnp.asarray(sel_np), nbrs_d, rows_d,
-                w2_d, expand,
-            )
-            sel_np = np.asarray(sel)
-            if (sel_np < 0).all():
+            if all(ln.done for ln in lanes):
                 break
-            safe = np.minimum(
-                np.maximum(sel_np, 0), self.neighbors.shape[0] - 1
-            ).reshape(-1)
-            # the host-side "disk read": one contiguous row per expansion,
-            # gathered by the native parallel-memcpy runtime
-            from jvector_tpu.util.native import gather_rows
+            for ln in lanes:
+                if ln.done:
+                    continue
+                qn = ln.b - ln.a
+                sel_np = np.asarray(ln.sel_dev)  # blocks THIS lane's step
+                if (sel_np < 0).all():
+                    ln.done = True
+                    continue
+                safe = np.minimum(
+                    np.maximum(sel_np, 0), self.neighbors.shape[0] - 1
+                ).reshape(-1)
+                # the host-side "disk read" — one contiguous row per
+                # expansion, parallel memcpy; the other lane's device step
+                # (dispatched below last round) runs concurrently
+                nbrs_d = jnp.asarray(
+                    gather_rows(self.neighbors, safe).reshape(qn, expand, R)
+                )
+                rows_d = jnp.asarray(
+                    gather_rows(self.fused_packed, safe).reshape(qn, expand, R, mp)
+                )
+                w2_d = jnp.asarray(
+                    gather_rows(self.fused_w2, safe).reshape(qn, expand, R)
+                )
+                ln.state, ln.sel_dev = _host_step(
+                    ln.state, scorer, ln.qstate, jnp.asarray(sel_np),
+                    nbrs_d, rows_d, w2_d, expand,
+                )
 
-            nbrs_d = jnp.asarray(gather_rows(self.neighbors, safe).reshape(Q, expand, R))
-            rows_d = jnp.asarray(
-                gather_rows(self.fused_packed, safe).reshape(Q, expand, R, mp)
-            )
-            w2_d = jnp.asarray(gather_rows(self.fused_w2, safe).reshape(Q, expand, R))
-
+        state = BeamState(
+            ids=jnp.concatenate([ln.state.ids for ln in lanes]),
+            scores=jnp.concatenate([ln.state.scores for ln in lanes]),
+            expanded=jnp.concatenate([ln.state.expanded for ln in lanes]),
+            history=jnp.concatenate([ln.state.history for ln in lanes]),
+            visited_count=jnp.concatenate(
+                [ln.state.visited_count for ln in lanes]
+            ),
+            expanded_count=jnp.concatenate(
+                [ln.state.expanded_count for ln in lanes]
+            ),
+            iters=lanes[0].state.iters,
+            stale=None,
+        )
         ids, scores = state.ids, state.scores
         if self.deleted is not None and self.deleted.any():
             dead = jnp.asarray(self.deleted)[jnp.maximum(ids, 0)] & (ids >= 0)

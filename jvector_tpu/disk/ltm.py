@@ -23,7 +23,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from jvector_tpu.disk.format import FeatureId, IndexFileWriter
-from jvector_tpu.graph.builder import GraphIndexBuilder, _insert_wave
+from jvector_tpu.graph.builder import (
+    GraphIndexBuilder,
+    _insert_wave,
+    _shuffled_wave_starts,
+)
 from jvector_tpu.graph.index import GraphConfig, GraphIndex, empty_graph
 from jvector_tpu.graph.score import ADCScoreProvider
 from jvector_tpu.ops.similarity import SimilarityFunction
@@ -93,9 +97,11 @@ def build_on_disk_ltm(
     writer = IndexFileWriter(path)
     writer.reserve_array(f"feature/{FeatureId.INLINE_VECTORS}/vectors", (n, dim), np.float32)
 
-    # ---- phase B: stream waves -------------------------------------------
+    # ---- phase B: stream waves (shuffled order, see
+    # graph.builder._shuffled_wave_starts — the loader only ever sees
+    # contiguous chunk reads, and the inline vector writes are positional)
     w = config.wave_size
-    for start in range(0, n, w):
+    for start in _shuffled_wave_starts(n, w):
         stop = min(start + w, n)
         wave_np = np.asarray(load(start, stop), np.float32)
         # full-res vectors go to disk NOW (never all in memory)
@@ -208,7 +214,7 @@ def _build_on_disk_ltm_sq4(path, load, n, dim, config, sim, training_sample, see
         )
 
     w = config.wave_size
-    for start in range(0, n, w):
+    for start in _shuffled_wave_starts(n, w):
         stop = min(start + w, n)
         wave_np = np.asarray(load(start, stop), np.float32)
         writer.write_rows(

@@ -33,7 +33,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from jvector_tpu.graph.diversity import dedup_sorted_desc, robust_prune
+from jvector_tpu.graph.diversity import (
+    dedup_sorted_desc,
+    robust_prune,
+    tie_break_pairs,
+    tie_break_scores,
+)
 from jvector_tpu.graph.index import (
     NEG_INF,
     GraphConfig,
@@ -108,6 +113,10 @@ def _insert_wave(
     intra_scores = jnp.where(intra_valid, wave_pair_scores, NEG_INF)
     intra_ids = jnp.where(intra_valid, wave_ids[None, :], -1)
     intra_ids = jnp.broadcast_to(intra_ids, (W, W))
+    # jitter BEFORE the top-ef intra quota: with quantized tie scores the
+    # top_k otherwise picks the SAME lowest-index wave-mates for every
+    # owner and the whole wave funnels into one tiny candidate pool
+    intra_scores = tie_break_scores(safe_wave, intra_ids, intra_scores)
 
     # -- 3. merge + prune -------------------------------------------------
     # Keep the beam candidates and the intra-wave candidates in SEPARATE
@@ -126,6 +135,7 @@ def _insert_wave(
     cand_scores = jnp.concatenate(
         [beam.scores[:, :ef], intra_top_scores], axis=1
     )
+    cand_scores = tie_break_scores(safe_wave, cand_ids, cand_scores)
     cand_ids, cand_scores = dedup_sorted_desc(cand_ids, cand_scores)
     if prune_provider is not provider:
         # compressed search scores only drove DISCOVERY; re-rank the pooled
@@ -134,11 +144,14 @@ def _insert_wave(
         valid = cand_ids >= 0
         rescored = prune_provider.score(prune_qstate, jnp.maximum(cand_ids, 0))
         cand_scores = jnp.where(valid, rescored, NEG_INF)
+        cand_scores = tie_break_scores(safe_wave, cand_ids, cand_scores)
         order = jnp.argsort(-cand_scores, axis=1)
         cand_ids = jnp.take_along_axis(cand_ids, order, axis=1)
         cand_scores = jnp.take_along_axis(cand_scores, order, axis=1)
 
-    simmat = _pairwise_from_provider(prune_provider, cand_ids)
+    simmat = tie_break_pairs(
+        cand_ids, _pairwise_from_provider(prune_provider, cand_ids)
+    )
     sel_ids, sel_scores, sel_count = robust_prune(
         cand_ids, cand_scores, simmat, M, config.alphas
     )  # [W, M]
@@ -207,8 +220,11 @@ def _insert_wave(
         jnp.arange(R_cap)[None, :] < counts[enforce_rows][:, None], e_ids, -1
     )
     e_scores_m = jnp.where(e_ids_m >= 0, e_scores, NEG_INF)
+    e_scores_m = tie_break_scores(enforce_rows, e_ids_m, e_scores_m)
     e_ids_s, e_scores_s = dedup_sorted_desc(e_ids_m, e_scores_m)
-    e_sim = _pairwise_from_provider(prune_provider, e_ids_s)
+    e_sim = tie_break_pairs(
+        e_ids_s, _pairwise_from_provider(prune_provider, e_ids_s)
+    )
     p_ids, p_scores, p_count = robust_prune(
         e_ids_s, e_scores_s, e_sim, M, config.alphas
     )
@@ -316,6 +332,10 @@ def _wave_update_fused(
     intra_scores = jnp.where(intra_valid, wave_pair_scores, NEG_INF)
     intra_ids = jnp.where(intra_valid, wave_ids[None, :], -1)
     intra_ids = jnp.broadcast_to(intra_ids, (W, W))
+    # jitter BEFORE the top-ef intra quota: with quantized tie scores the
+    # top_k otherwise picks the SAME lowest-index wave-mates for every
+    # owner and the whole wave funnels into one tiny candidate pool
+    intra_scores = tie_break_scores(safe_wave, intra_ids, intra_scores)
 
     # -- 3. merge + rescore exact + prune (see _insert_wave for the
     #       separate-quota / no-score-truncation invariants) --------------
@@ -330,11 +350,14 @@ def _wave_update_fused(
     valid = cand_ids >= 0
     rescored = prune_provider.score(prune_qstate, jnp.maximum(cand_ids, 0))
     cand_scores = jnp.where(valid, rescored, NEG_INF)
+    cand_scores = tie_break_scores(safe_wave, cand_ids, cand_scores)
     order = jnp.argsort(-cand_scores, axis=1)
     cand_ids = jnp.take_along_axis(cand_ids, order, axis=1)
     cand_scores = jnp.take_along_axis(cand_scores, order, axis=1)
 
-    simmat = _pairwise_from_provider(prune_provider, cand_ids)
+    simmat = tie_break_pairs(
+        cand_ids, _pairwise_from_provider(prune_provider, cand_ids)
+    )
     sel_ids, sel_scores, sel_count = robust_prune(
         cand_ids, cand_scores, simmat, M, config.alphas
     )
@@ -397,24 +420,51 @@ def _wave_update_fused(
     scores = scores.at[scatter_t, scatter_slot].set(sc_sorted, mode="drop")
     counts = counts.at[jnp.where(ok, t_ok, N_cap)].add(1, mode="drop")
 
-    # Fused mirror for backlink targets: rewrite the FULL fused row of
-    # every unique touched target.  Row-granular scatters keep XLA in plain
-    # row-scatter land — per-slot alternatives lose badly: a 2-D-index
-    # element scatter on [N, R*MP] compiles pathologically (>10 min), and a
-    # [N, R*MP]<->[N*R, MP] flat view materializes 1.5 GB reshape copies
-    # every wave because MP=64 < the 128-lane u8 tile (measured 36 ms/wave
-    # of reshape+copy in the round-3 trace).  The row rewrite is one
-    # [W*M, R_cap] adjacency gather + codes gather (~7 ms/wave).
+    # Fused mirror for backlink targets — patch-from-old-fused.  Per-slot
+    # alternatives lose badly: a 2-D-index element scatter on [N, R*MP]
+    # compiles pathologically (>10 min); a [N, R*MP]<->[N*R, MP] flat view
+    # materializes 1.5 GB reshape copies every wave (MP=64 < the 128-lane
+    # u8 tile); re-gathering the full row image from codes_packed costs
+    # W*M*R_cap row gathers (12 ms/wave at W=512 — XLA gathers are
+    # row-count bound).  Instead: gather each touched row's CURRENT fused
+    # image (W*M row gathers) and overwrite only the slots appended this
+    # wave.  Entries for one target are contiguous in the target-sorted
+    # order with distinct slots, so the per-run patch is an exact int32
+    # cumsum-segment sum over the entry axis.
+    WM = key_sorted.shape[0]
+    pos_e = jnp.arange(WM, dtype=jnp.int32)
+    is_end = jnp.concatenate([is_start[1:], jnp.ones((1,), bool)])
+    run_end = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(is_end, pos_e, WM - 1), reverse=True
+    )
+    slot_hot = (
+        jax.lax.broadcasted_iota(jnp.int32, (WM, R_cap), 1)
+        == scatter_slot[:, None]
+    ) & ok[:, None]  # [WM, R_cap]
+    src_codes = codes_packed[jnp.maximum(s_sorted, 0)]  # [WM, MP]
+    patch = jnp.where(
+        slot_hot[:, :, None], src_codes[:, None, :].astype(jnp.int32), 0
+    )  # [WM, R_cap, MP] int32 (exact under cumsum)
+    csum = jnp.cumsum(patch, axis=0)
+    run_sum = csum[run_end] - csum + patch  # [WM, R_cap, MP], valid at heads
+    mask_csum = jnp.cumsum(slot_hot.astype(jnp.int32), axis=0)
+    run_mask = (
+        mask_csum[run_end] - mask_csum + slot_hot.astype(jnp.int32)
+    ) > 0  # [WM, R_cap]
     uniq = (valid_sorted == 1) & is_start
     bl_rows = jnp.where(uniq, key_sorted, N_cap)
-    safe_bl = jnp.minimum(bl_rows, N_cap - 1)
-    r_ids = neighbors[safe_bl]
-    r_ids = jnp.where(
-        jnp.arange(R_cap)[None, :] < counts[safe_bl][:, None], r_ids, -1
+    old_rows = fused_packed[jnp.minimum(bl_rows, N_cap - 1)].reshape(
+        WM, R_cap, mp
     )
-    bf_codes, bf_w2 = fused_rows_for(r_ids)
-    fused_packed = fused_packed.at[bl_rows].set(bf_codes, mode="drop")
-    fused_w2 = fused_w2.at[bl_rows].set(bf_w2, mode="drop")
+    patched = jnp.where(
+        run_mask[:, :, None], run_sum.astype(jnp.uint8), old_rows
+    ).reshape(WM, R_cap * mp)
+    fused_packed = fused_packed.at[bl_rows].set(patched, mode="drop")
+    # fused_w2 is tiny — a direct (row, slot) element scatter is cheap and
+    # avoids float cumsum cancellation error
+    fused_w2 = fused_w2.at[scatter_t, scatter_slot].set(
+        node_const[jnp.maximum(s_sorted, 0)], mode="drop"
+    )
 
     # -- 5. enforce overflow (+ fused row rewrite) ------------------------
     over_cap = config.overflow_degree
@@ -430,8 +480,11 @@ def _wave_update_fused(
         jnp.arange(R_cap)[None, :] < counts[enforce_rows][:, None], e_ids, -1
     )
     e_scores_m = jnp.where(e_ids_m >= 0, e_scores, NEG_INF)
+    e_scores_m = tie_break_scores(enforce_rows, e_ids_m, e_scores_m)
     e_ids_s, e_scores_s = dedup_sorted_desc(e_ids_m, e_scores_m)
-    e_sim = _pairwise_from_provider(prune_provider, e_ids_s)
+    e_sim = tie_break_pairs(
+        e_ids_s, _pairwise_from_provider(prune_provider, e_ids_s)
+    )
     p_ids, p_scores, p_count = robust_prune(
         e_ids_s, e_scores_s, e_sim, M, config.alphas
     )
@@ -485,8 +538,11 @@ def _enforce_chunk(
     cnt = layer.counts[safe_rows]
     e_ids = jnp.where(jnp.arange(R_cap)[None, :] < cnt[:, None], e_ids, -1)
     e_scores = jnp.where(e_ids >= 0, e_scores, NEG_INF)
+    e_scores = tie_break_scores(safe_rows, e_ids, e_scores)
     e_ids_s, e_scores_s = dedup_sorted_desc(e_ids, e_scores)
-    simmat = _pairwise_from_provider(provider, e_ids_s)
+    simmat = tie_break_pairs(
+        e_ids_s, _pairwise_from_provider(provider, e_ids_s)
+    )
     p_ids, p_scores, p_count = robust_prune(
         e_ids_s, e_scores_s, simmat, M, config.alphas
     )
@@ -509,6 +565,26 @@ def _enforce_chunk(
         num_nodes=graph.num_nodes,
         deleted=graph.deleted,
     )
+
+
+def _shuffled_wave_starts(n: int, wave: int, seed: int = 0x5EED) -> list[int]:
+    """Deterministically shuffled wave insertion order.
+
+    Vamana robustness depends on shuffled insertion: on a cluster- or
+    time-ordered corpus, id-order waves build each cluster against a graph
+    that does not yet contain the others, so cross-cluster bridges only
+    form by backlink accidents (measured: an adversarial cluster-block
+    corpus served at recall 0.0 because ~49 bridge edges sat on rows the
+    query beam never expands).  Shuffling the WAVE order interleaves
+    clusters — every wave searches a graph containing the other regions,
+    so the alpha ramp admits long-range edges in both directions — while
+    keeping each wave a contiguous chunk (stream/memmap-friendly loads,
+    positional inline writes).  Reference: DiskANN/Vamana builds shuffle
+    insertion order for the same reason.
+    """
+    starts = list(range(0, n, wave))
+    np.random.default_rng(seed).shuffle(starts)
+    return starts
 
 
 @dataclasses.dataclass
@@ -571,7 +647,7 @@ class GraphIndexBuilder:
                 else build_provider.node_w2
             )
             codes_packed = build_provider.codes_packed
-            for start in range(0, n, w):
+            for start in _shuffled_wave_starts(n, w):
                 ids = np.arange(start, start + w, dtype=np.int32)
                 ids = np.where(ids < n, ids, -1)
                 ids_dev = jnp.asarray(ids)
@@ -596,7 +672,7 @@ class GraphIndexBuilder:
                     cfg,
                 )
         else:
-            for start in range(0, n, w):
+            for start in _shuffled_wave_starts(n, w):
                 ids = np.arange(start, start + w, dtype=np.int32)
                 ids = np.where(ids < n, ids, -1)
                 wv = vectors[jnp.minimum(jnp.asarray(ids), n - 1)]
@@ -692,7 +768,10 @@ class GraphIndexBuilder:
         """Enforce degree + recompute entry point (reference ``cleanup():472-508``)."""
         cfg = self.config
         n_cap = graph.capacity
-        chunk = min(1024, max(cfg.wave_size, 64))
+        # big chunks amortize the prune's sequential-step overhead (the
+        # [B, C] per-step work is tiny; B=4096 keeps the VPU busy) — the
+        # cleanup pass was ~25% of 1M build time at chunk 1024
+        chunk = min(4096, max(cfg.wave_size, 64))
         for start in range(0, n_cap, chunk):
             graph = _enforce_chunk(
                 graph, provider, jnp.int32(start), cfg, chunk
@@ -752,9 +831,12 @@ def _refine_chunk(
     # mask self-edges found by the search
     cand_ids = jnp.where(cand_ids == safe_rows[:, None], -1, cand_ids)
     cand_scores = jnp.where(cand_ids >= 0, cand_scores, NEG_INF)
+    cand_scores = tie_break_scores(safe_rows, cand_ids, cand_scores)
     cand_ids, cand_scores = dedup_sorted_desc(cand_ids, cand_scores)
 
-    simmat = _pairwise_from_provider(provider, cand_ids)
+    simmat = tie_break_pairs(
+        cand_ids, _pairwise_from_provider(provider, cand_ids)
+    )
     p_ids, p_scores, p_count = robust_prune(
         cand_ids, cand_scores, simmat, M, config.alphas
     )

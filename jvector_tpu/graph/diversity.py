@@ -22,6 +22,48 @@ import jax.numpy as jnp
 from jvector_tpu.graph.index import NEG_INF
 
 
+def _mix32(x: jax.Array) -> jax.Array:
+    """Cheap avalanche hash on uint32 (xxhash-style finalizer)."""
+    x = x.astype(jnp.uint32)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x85EBCA77)
+    x = (x ^ (x >> 13)) * jnp.uint32(0xC2B2AE3D)
+    return x ^ (x >> 16)
+
+
+_TIE_EPS = 1e-6  # far below any meaningful exact-score difference
+
+
+def tie_break_scores(
+    owner_ids: jax.Array, cand_ids: jax.Array, scores: jax.Array
+) -> jax.Array:
+    """Subtract a tiny per-(owner, candidate) deterministic epsilon.
+
+    Quantized prune providers (SQ4/PQ codes) tie exactly on clusters
+    tighter than the quantization step; with identical candidate lists and
+    identical tie-breaks every owner then selects the SAME neighbors and
+    the cluster shatters into islands (measured: 16/512 of an adversarial
+    burst reachable).  Per-owner jitter turns the tie-broken choices into
+    a random expander instead.  The epsilon (<=1e-6) is invisible to
+    full-precision scores.
+    """
+    h = _mix32(
+        owner_ids.astype(jnp.uint32)[:, None] * jnp.uint32(0x9E3779B1)
+        ^ jnp.maximum(cand_ids, 0).astype(jnp.uint32)
+    )
+    return scores - (h & jnp.uint32(1023)).astype(jnp.float32) * (_TIE_EPS / 1024.0)
+
+
+def tie_break_pairs(cand_ids: jax.Array, simmat: jax.Array) -> jax.Array:
+    """Symmetric per-pair epsilon on the candidate-pair similarity matrix
+    (same rationale as :func:`tie_break_scores`; symmetric so the prune's
+    occlusion test agrees regardless of selection order)."""
+    a = jnp.maximum(cand_ids, 0).astype(jnp.uint32)
+    lo = jnp.minimum(a[:, :, None], a[:, None, :])
+    hi = jnp.maximum(a[:, :, None], a[:, None, :])
+    h = _mix32(lo * jnp.uint32(0x9E3779B1) ^ hi)
+    return simmat - (h & jnp.uint32(1023)).astype(jnp.float32) * (_TIE_EPS / 1024.0)
+
+
 def dedup_sorted_desc(ids: jax.Array, scores: jax.Array):
     """Sort (ids, scores) desc by score and invalidate duplicate ids.
 
@@ -69,7 +111,7 @@ def robust_prune(
     def scan_alpha(carry, alpha):
         selected, count = carry
 
-        def step(i, sc):
+        def step(sc, i):
             sel, cnt = sc
             sims_i = jax.lax.dynamic_slice_in_dim(simmat, i, 1, axis=1)[:, 0, :]  # [B, C]
             max_sel_sim = jnp.max(
@@ -87,9 +129,18 @@ def robust_prune(
             sel2 = jax.lax.dynamic_update_slice_in_dim(
                 sel, (sel_i | accept)[:, None], i, axis=1
             )
-            return sel2, cnt + accept.astype(jnp.int32)
+            return (sel2, cnt + accept.astype(jnp.int32)), None
 
-        selected, count = jax.lax.fori_loop(0, C, step, (selected, count))
+        # unrolled scan: the greedy is inherently sequential over candidate
+        # positions, but each position's work is a tiny [B, C] slice+reduce
+        # — unrolling 8 steps per loop iteration amortizes the TPU loop
+        # overhead that dominated the prune at C~200
+        (selected, count), _ = jax.lax.scan(
+            step,
+            (selected, count),
+            jnp.arange(C, dtype=jnp.int32),
+            unroll=8,
+        )
         return (selected, count), None
 
     init = (jnp.zeros((B, C), bool), jnp.zeros((B,), jnp.int32))

@@ -49,14 +49,18 @@ class GraphConfig:
     # Row capacity: overflow cap rounded up to a multiple of 8 plus slack for
     # backlink bursts within a wave before the enforce pass runs.
     row_slack: int = 16
-    wave_size: int = 256
+    # 512/2 measured fastest for the fused-SQ4 build at 400k x 128d on
+    # v5e-1 (76s vs 80s @256/2, 95s @512/1); recall identical across knobs
+    wave_size: int = 512
     # Hierarchy (HNSW-style levels on top of the Vamana base layer).
     add_hierarchy: bool = False
     # Max beam-search iterations during build (safety bound for while_loop).
     max_build_iters: int = 400
     # Beam expansions per iteration during build searches (trades a few
     # extra scored edges for proportionally fewer sequential loop steps).
-    build_expand: int = 1
+    # 2 wins now that fused rows made build gathers cheap (round-2's E=1
+    # preference was an artifact of the gather-bound regime).
+    build_expand: int = 2
     # Construction-time scoring: "sq4" (default) runs the wave beam SEARCHES
     # on 4-bit scalar-quantized codes — 1.6x faster than full-precision at
     # 400k (50s vs 80s) within 0.003 recall; None scores full-precision.

@@ -42,6 +42,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from jvector_tpu.graph.builder import (
     _insert_wave,
+    _shuffled_wave_starts,
     _wave_search,
     _wave_update_fused,
 )
@@ -176,7 +177,7 @@ def sharded_build(
 
     w = config.wave_size
     n_dev_ = mesh.devices.size
-    for start in range(0, n_local, w):
+    for start in _shuffled_wave_starts(n_local, w):
         ids_per_shard, wave_vecs = _wave_inputs(
             start, w, counts, stacked, n_local, n_dev_
         )
@@ -296,7 +297,7 @@ def _sharded_build_sq4(
     )
 
     w = config.wave_size
-    for start in range(0, n_local, w):
+    for start in _shuffled_wave_starts(n_local, w):
         ids_per_shard, wave_vecs = _wave_inputs(
             start, w, counts, stacked, n_local, n_dev
         )

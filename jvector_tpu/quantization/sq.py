@@ -144,6 +144,48 @@ class ScalarQuantization4:
         k = jnp.clip(jnp.round((x - self.offset) / self.scale), 0, 15)
         return pack_nibble_rows(k.astype(jnp.uint8))
 
+    def level_codebooks(self) -> jax.Array:
+        """The quantizer viewed as PQ codebooks ``[D_pad, 16, 1]``.
+
+        SQ4 is exactly product quantization with D subspaces of size 1 and
+        16 fixed affine levels ``a_m * k + b_m`` — this view lets SQ4 reuse
+        the PQ machinery (anisotropic coordinate descent, ADC analyses)
+        verbatim.
+        """
+        k = jnp.arange(16, dtype=jnp.float32)
+        return (self.scale[:, None] * k[None, :] + self.offset[:, None])[..., None]
+
+    def encode_anisotropic(
+        self,
+        vectors: jax.Array | np.ndarray,
+        threshold: float = 0.2,
+        block: int = 65_536,
+    ) -> jax.Array:
+        """Anisotropic SQ4 encoding (SCANN §3.2 applied to scalar levels).
+
+        Per-vector coordinate descent re-picks each dim's 4-bit level to
+        weight error PARALLEL to the vector (which biases inner products)
+        ``eta``x more than perpendicular error — the same trade the
+        anisotropic PQ encoder makes (``pq.encode_anisotropic``), reused
+        verbatim via :meth:`level_codebooks`.  Use for MIPS/dot corpora
+        (BASELINE config 3); euclidean corpora gain nothing.
+        """
+        from jvector_tpu.quantization.kmeans import (
+            compute_parallel_cost_multiplier,
+        )
+        from jvector_tpu.quantization.pq import encode_anisotropic
+
+        vectors = jnp.asarray(vectors, jnp.float32)
+        d = vectors.shape[1]
+        eta = compute_parallel_cost_multiplier(threshold, d)
+        cbs = self.level_codebooks()
+        outs = []
+        for i in range(0, vectors.shape[0], block):
+            x = self._pad(vectors[i : i + block])
+            levels = encode_anisotropic(x, cbs, eta)  # [B, D_pad] uint8
+            outs.append(pack_nibble_rows(levels))
+        return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
     def encode(
         self, vectors: jax.Array | np.ndarray, block: int = 262_144
     ) -> jax.Array:

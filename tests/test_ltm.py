@@ -107,3 +107,74 @@ def hg_reader(path):
     from jvector_tpu.disk.format import load_index
 
     return load_index(path).reader
+
+
+def test_ltm_sq4_backlink_burst_adversarial_fanin(tmp_path):
+    """LTM variant of the hub-burst probe (advisor r2): the SQ4 LTM build
+    prunes on 4-bit codes (full-precision vectors are already on disk), so
+    a wave of near-duplicates with IDENTICAL codes must still leave the
+    hub region connected — the separate-quota candidate pool, not score
+    order, decides which long-range edges survive."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from jvector_tpu.disk.ltm import build_on_disk_ltm
+    from jvector_tpu.graph import GraphConfig, search
+    from jvector_tpu.util.datasets import exact_ground_truth, recall_at_k
+
+    from jvector_tpu.disk.format import FeatureId, load_index
+    from jvector_tpu.disk.host_tier import (
+        HostVectorStore,
+        search_with_host_rerank,
+    )
+
+    rng = np.random.default_rng(77)
+    d = 16
+    hub = np.zeros((1, d), np.float32)
+    # burst tighter than the SQ4 quantization step: codes collide exactly
+    burst = (rng.normal(size=(511, d)) * 1e-4).astype(np.float32)
+    far = (rng.normal(size=(1536, d)) + 8.0).astype(np.float32)
+    base = np.concatenate([hub, burst, far]).astype(np.float32)
+
+    cfg = GraphConfig(max_degree=8, ef_construction=24, wave_size=512)
+    path = str(tmp_path / "adv.jvtpu")
+    graph, provider = build_on_disk_ltm(
+        path, base, base.shape[0], d, config=cfg, compression="sq4"
+    )
+
+    counts = np.asarray(graph.base.counts)[: base.shape[0]]
+    assert counts.max() <= cfg.max_degree
+
+    # approximate pass alone must DISCOVER the burst (connectivity): with
+    # identical codes it cannot rank WITHIN the burst, so recall is
+    # asserted on the production two-pass (exact rerank from the index
+    # file's inline vectors — the host-tier serve path)
+    queries = (rng.normal(size=(32, d)) * 0.05).astype(np.float32)
+    approx = search(graph, provider, jnp.asarray(queries), top_k=10, beam_width=40)
+    assert (np.asarray(approx.ids) < 512).mean() >= 0.95, "burst not discovered"
+
+    store = HostVectorStore.from_index_file(
+        load_index(path).reader,
+        f"feature/{FeatureId.INLINE_VECTORS}/vectors",
+        "euclidean",
+    )
+    # Within the burst, GT-recall is information-theoretically unreachable
+    # for ANY 4-bit code (all 511 members share one code word, so the
+    # approximate pass can only hand the reranker an arbitrary beam-sized
+    # subset — the reference's PQ-coded LTM build behaves identically).
+    # The meaningful contracts: every result is a burst member, and the
+    # two-pass returns them exactly-ordered within the candidate set.
+    res = search_with_host_rerank(
+        graph, provider, store, jnp.asarray(queries), top_k=10, beam_width=40
+    )
+    ids = np.asarray(res.ids)
+    assert (ids < 512).all(), "two-pass returned non-burst results"
+    assert (np.diff(np.asarray(res.scores), axis=1) <= 1e-6).all()
+
+    fq = (rng.normal(size=(32, d)) + 8.0).astype(np.float32)
+    gt2 = exact_ground_truth(base, fq, 10)
+    res2 = search_with_host_rerank(
+        graph, provider, store, jnp.asarray(fq), top_k=10, beam_width=40
+    )
+    r2 = recall_at_k(np.asarray(res2.ids), gt2, 10)
+    assert r2 >= 0.85, f"LTM far-region recall {r2}"
