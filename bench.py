@@ -109,7 +109,7 @@ def main() -> None:
     jax.block_until_ready(sq4_provider.fused_packed)
     encode_s = time.time() - t0
 
-    def run_sq4(qs, beam):
+    def run_sq4(qs, beam, expand=1):
         return search(
             graph,
             sq4_provider,
@@ -118,6 +118,7 @@ def main() -> None:
             beam_width=beam,
             rerank_k=beam,
             reranker=exact_provider,
+            expand_per_iter=expand,
         )
 
     def run_exact(qs, beam):
@@ -149,21 +150,36 @@ def main() -> None:
         for o in outs:
             o.block_until_ready()
         qps = sum(wv.shape[0] for wv in waves) / (time.time() - t0)
-        t0 = time.time()
+        lats = []
         for wv in waves:
+            t0 = time.time()
             run(wv, beam).ids.block_until_ready()
-        qps_serial = sum(wv.shape[0] for wv in waves) / (time.time() - t0)
-        return qps, qps_serial, recall, beam
+            lats.append(time.time() - t0)
+        qps_serial = sum(wv.shape[0] for wv in waves) / sum(lats)
+        p999 = float(np.quantile(np.asarray(lats) * 1000, 0.999))
+        return qps, qps_serial, recall, beam, p999
 
-    exact_qps, exact_qps_serial, exact_recall, exact_beam = operating_point(run_exact)
-    sq4_qps, sq4_qps_serial, sq4_recall, sq4_beam = operating_point(run_sq4)
+    exact_qps, exact_qps_serial, exact_recall, exact_beam, exact_p999 = (
+        operating_point(run_exact)
+    )
+    sq4_qps, sq4_qps_serial, sq4_recall, sq4_beam, sq4_p999 = operating_point(
+        run_sq4
+    )
+    # serve-side multi-expand: E=2 halves sequential beam iterations at ~5%
+    # extra visits — re-measure at the chosen operating point and keep the
+    # better (fused rows made the extra gathers nearly free)
+    sq4e2 = operating_point(lambda qs, b: run_sq4(qs, b, expand=2))
+    sq4_expand = 1
+    if sq4e2[2] >= RECALL_FLOOR and sq4e2[0] > sq4_qps:
+        sq4_qps, sq4_qps_serial, sq4_recall, sq4_beam, sq4_p999 = sq4e2
+        sq4_expand = 2
 
     candidates = [
-        ("exact_f32", exact_qps, exact_qps_serial, exact_recall, exact_beam),
-        ("sq4+f32_rerank", sq4_qps, sq4_qps_serial, sq4_recall, sq4_beam),
+        ("exact_f32", exact_qps, exact_qps_serial, exact_recall, exact_beam, exact_p999),
+        ("sq4+f32_rerank", sq4_qps, sq4_qps_serial, sq4_recall, sq4_beam, sq4_p999),
     ]
     ok = [c for c in candidates if c[3] >= RECALL_FLOOR] or candidates
-    mode, qps, qps_serial, recall, beam = max(ok, key=lambda c: c[1])
+    mode, qps, qps_serial, recall, beam, p999 = max(ok, key=lambda c: c[1])
 
     print(
         json.dumps(
@@ -179,6 +195,8 @@ def main() -> None:
                 "beam_width": beam,
                 "mode": mode,
                 "qps_serial": round(qps_serial, 1),
+                "latency_p999_ms": round(p999, 2),
+                "serve_expand": sq4_expand if mode.startswith("sq4") else 1,
                 "build_seconds": round(build_s, 1),
                 "sq4_encode_seconds": round(encode_s, 1),
                 "exact_qps": round(exact_qps, 1),

@@ -1,0 +1,62 @@
+"""10M SQ4-LTM demo: stream-build + bounded-memory host serving (VERDICT r3 #4).
+
+10M x 128d: SQ4 working set ~640 MB on device during build; full-precision
+vectors only ever visit HBM one wave at a time.  Serving: HostGraphIndex
+(adjacency + fused codes memmapped on host, streamed per expansion) + host
+full-precision rerank.  Writes ~43 GB to /tmp.
+"""
+import os, time
+import numpy as np
+import jax, jax.numpy as jnp
+from jvector_tpu.disk.host_graph import HostGraphIndex
+from jvector_tpu.disk.host_tier import HostVectorStore
+from jvector_tpu.disk.ltm import build_on_disk_ltm
+from jvector_tpu.graph import GraphConfig
+from jvector_tpu.util.datasets import synthetic_dataset, recall_at_k
+
+N, D = 10_000_000, 128
+t0 = time.time()
+ds = synthetic_dataset(n=N, dim=D, n_queries=512, k=10, n_clusters=max(64, N // 500), seed=5)
+base_np = np.asarray(ds.base)
+queries = jnp.asarray(ds.queries)
+print(f"synth {time.time()-t0:.1f}s ({base_np.nbytes/1e9:.1f} GB host)", flush=True)
+
+# exact GT by chunked brute force on device
+t0 = time.time()
+CH, top = 500_000, 10
+gt_parts = []
+for a in range(0, N, CH):
+    blk = jnp.asarray(base_np[a:a + CH])
+    d2 = jnp.sum(queries * queries, 1)[:, None] + jnp.sum(blk * blk, 1)[None, :] - 2 * queries @ blk.T
+    vals, idx = jax.lax.top_k(-d2, top)
+    gt_parts.append((np.asarray(-vals), np.asarray(idx) + a))
+allv = np.concatenate([p[0] for p in gt_parts], 1)
+alli = np.concatenate([p[1] for p in gt_parts], 1)
+order = np.argsort(allv, 1)[:, :top]
+gt = np.take_along_axis(alli, order, 1)
+print(f"gt {time.time()-t0:.1f}s", flush=True)
+
+path = "/tmp/ltm_10m_sq4.jvtpu"
+cfg = GraphConfig(max_degree=32, ef_construction=100)
+t0 = time.time()
+graph, provider = build_on_disk_ltm(path, lambda a, b: base_np[a:b], n=N, dim=D,
+                                    config=cfg, compression="sq4")
+build_s = time.time() - t0
+print(f"LTM build 10M: {build_s:.1f}s  file={os.path.getsize(path)/1e9:.2f} GB "
+      f"fused_on_device={provider.supports_fused}", flush=True)
+
+hg = HostGraphIndex.load(path)
+from jvector_tpu.disk.format import load_index
+store = HostVectorStore.from_index_file(load_index(path).reader,
+                                        "feature/inline_vectors/vectors", "euclidean")
+budget = hg.hbm_bytes(n_queries=512, beam_width=48, expand=4)
+for pipeline in (2, 1):
+    t0 = time.time()
+    res = hg.search(queries, top_k=10, beam_width=48, expand=4, rerank=store,
+                    pipeline=pipeline)
+    dt = time.time() - t0
+    r = recall_at_k(np.asarray(res.ids), gt, 10)
+    host_bytes = hg.fused_packed.size + hg.neighbors.size * 4 + hg.fused_w2.size * 4 + base_np.nbytes
+    print(f"host-serve 512q pipeline={pipeline}: {dt:.1f}s ({512/dt:.0f} QPS) "
+          f"recall@10={r:.4f} device_ws={budget/1e6:.0f} MB vs host {host_bytes/1e9:.1f} GB",
+          flush=True)

@@ -8,6 +8,8 @@ re-point jax at CPU and clear any already-initialized backend.
 
 import os
 
+import pytest
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
@@ -26,3 +28,20 @@ except Exception:  # pragma: no cover - older jax versions
     pass
 
 assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    The full 136-test suite accumulates hundreds of distinct XLA:CPU
+    executables in one process; past ~130 tests the NEXT compile
+    deterministically segfaults inside backend_compile_and_load (an
+    XLA:CPU/LLVM process-state issue — the same tests pass in any
+    half-suite run).  Dropping executable caches per module keeps the
+    compiler healthy; shared fixtures inside a module still reuse jits.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()

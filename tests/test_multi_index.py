@@ -62,3 +62,43 @@ def test_rerank_floor_skips_work(setup):
     r_f = recall_at_k(np.asarray(with_floor.ids), ds.ground_truth, 10)
     r_n = recall_at_k(np.asarray(without.ids), ds.ground_truth, 10)
     assert r_f >= r_n - 0.02
+
+
+def test_stacked_merge_matches_sequential():
+    """VERDICT r3 item 10: same-shaped segments run as ONE compiled program
+    (vmapped stack); results must match the sequential loop path."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jvector_tpu.graph import GraphConfig, build_graph
+    from jvector_tpu.graph.multi import IndexShard, _can_stack, multi_search
+    from jvector_tpu.util.datasets import recall_at_k, synthetic_dataset
+
+    segs = []
+    bases = []
+    off = 0
+    for seed in range(4):
+        ds = synthetic_dataset(n=900, dim=16, n_queries=8, k=10, seed=40 + seed)
+        g, p = build_graph(ds.base, "euclidean", GraphConfig(max_degree=8, ef_construction=24, wave_size=128))
+        segs.append(IndexShard(graph=g, provider=p, id_offset=off))
+        bases.append(np.asarray(ds.base))
+        off += 900
+    assert _can_stack(segs)
+
+    qds = synthetic_dataset(n=100, dim=16, n_queries=16, k=10, seed=99)
+    q = jnp.asarray(qds.queries)
+    stacked = multi_search(segs, q, top_k=10, beam_width=40, stacked=True)
+    seq = multi_search(segs, q, top_k=10, beam_width=40, stacked=False, use_rerank_floor=False)
+    a, b = np.asarray(stacked.ids), np.asarray(seq.ids)
+    assert (a == b).mean() > 0.95, (a[:2], b[:2])
+
+    # merged recall parity vs brute force over the union
+    base_all = np.concatenate(bases)
+    d = (
+        np.sum(np.asarray(qds.queries) ** 2, axis=1)[:, None]
+        - 2.0 * np.asarray(qds.queries) @ base_all.T
+        + np.sum(base_all**2, axis=1)[None, :]
+    )
+    gt = np.argsort(d, axis=1)[:, :10]
+    r = recall_at_k(a, gt, 10)
+    assert r >= 0.9, f"stacked multi-index recall {r}"
