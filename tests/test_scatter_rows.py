@@ -40,3 +40,26 @@ def test_scatter_slots_matches_ref():
     expect = scatter_slots_ref(table, idx, off, payload)
     got = scatter_slots_inplace(table.copy(), idx, off, payload, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(expect))
+
+
+def test_scatter_flat_rows_auto_matches_ref():
+    """Rank-3 tiled row scatter (the fused-table in-place path) must match
+    the XLA reference, including dropped out-of-range rows."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from jvector_tpu.ops.pallas.scatter_rows import (
+        scatter_flat_rows_auto,
+        scatter_rows_ref,
+    )
+
+    rng = np.random.default_rng(11)
+    n, k, b = 64, 1024, 12
+    table = jnp.asarray(rng.integers(0, 255, (n, k)).astype(np.uint8))
+    idx = jnp.asarray(
+        np.array([0, 5, 5, 63, -1, 64, 7, 8, 9, 10, 11, 12], np.int32)
+    )
+    payload = jnp.asarray(rng.integers(0, 255, (b, k)).astype(np.uint8))
+    out = scatter_flat_rows_auto(table, idx, payload)
+    ref = scatter_rows_ref(table, idx, payload)
+    assert (np.asarray(out) == np.asarray(ref)).all()
