@@ -56,7 +56,12 @@ def main() -> None:
     builder = GraphIndexBuilder(cfg)
     bp0 = builder._sq4_build_provider(vectors, n_cap, sim)
     mp = bp0.codes_packed.shape[1]
-    fused_packed = jnp.zeros((n_cap, cfg.row_cap * mp), jnp.uint8)
+    k_row = cfg.row_cap * mp
+    fused_packed = (
+        jnp.zeros((n_cap, k_row // 128, 128), jnp.uint8)
+        if k_row % 1024 == 0
+        else jnp.zeros((n_cap, k_row), jnp.uint8)
+    )
     fused_w2 = jnp.zeros((n_cap, cfg.row_cap), jnp.float32)
     const = bp0.node_w2
     codes_packed = bp0.codes_packed

@@ -49,7 +49,7 @@ from jvector_tpu.graph.index import (
 )
 from jvector_tpu.graph.score import ExactScoreProvider
 from jvector_tpu.graph.searcher import search_layer
-from jvector_tpu.ops.pallas.scatter_rows import scatter_flat_rows_auto
+from jvector_tpu.ops.pallas.scatter_rows import scatter_rows_nd_auto
 from jvector_tpu.ops.similarity import SimilarityFunction
 
 
@@ -384,8 +384,22 @@ def _wave_update_fused(
         f_w2 = jnp.where(ok, node_const[safe], 0.0)
         return f_codes.reshape(ids_rows.shape[0], -1), f_w2
 
+    def fused_write(table, rows, img):
+        """Row write on the fused table.  Rank-3 whole-tile tables (aligned
+        builds) go through the guaranteed-in-place Pallas row DMA — XLA's
+        scatter COPIES the multi-GB table every wave no matter how the
+        update is phrased (measured 3 x ~7 ms/wave at 1M, present even
+        with zero reads of the table in the program; 0.03 ms in place).
+        2-D tables (sharded shard_map path, unalignable dims) keep the
+        XLA scatter."""
+        if table.ndim == 3:
+            return scatter_rows_nd_auto(
+                table, rows, img.reshape((img.shape[0],) + table.shape[1:])
+            )
+        return table.at[rows].set(img, mode="drop")
+
     f_codes, f_w2 = fused_rows_for(row_ids)
-    fused_packed = scatter_flat_rows_auto(fused_packed, scatter_rows, f_codes)
+    fused_packed = fused_write(fused_packed, scatter_rows, f_codes)
     fused_w2 = fused_w2.at[scatter_rows].set(f_w2, mode="drop")
 
     # -- 4b. backlinks (+ fused slot mirror) ------------------------------
@@ -423,11 +437,10 @@ def _wave_update_fused(
 
     # Fused mirror for backlink targets: rewrite the FULL fused row of
     # every unique touched target from codes_packed (W*M*R_cap row gathers,
-    # ~12 ms/wave at W=512) WITHOUT reading the fused table: a gather from
-    # the donated table followed by a scatter into it forces XLA to copy
-    # the whole multi-GB buffer (chunked-copy while loops, ~7 ms each at
-    # 1M) — three read-free scatters alias in place and beat the
-    # gather+patch formulations end to end.
+    # ~7 ms/wave at W=512) WITHOUT reading the fused table: a gather from
+    # the donated table followed by a scatter into it forces a copy, and
+    # slot-granular patches (2-D-index element scatter, flat views, cumsum
+    # segment patches) all compile or run worse — see fused_write.
     uniq = (valid_sorted == 1) & is_start
     bl_rows = jnp.where(uniq, key_sorted, N_cap)
     safe_bl = jnp.minimum(bl_rows, N_cap - 1)
@@ -436,270 +449,8 @@ def _wave_update_fused(
         jnp.arange(R_cap)[None, :] < counts[safe_bl][:, None], r_ids, -1
     )
     bf_codes, bf_w2 = fused_rows_for(r_ids)
-    fused_packed = scatter_flat_rows_auto(fused_packed, bl_rows, bf_codes)
+    fused_packed = fused_write(fused_packed, bl_rows, bf_codes)
     fused_w2 = fused_w2.at[bl_rows].set(bf_w2, mode="drop")
-
-    # -- 5. enforce overflow on a bounded batch of touched rows ------------
-    over_cap = config.overflow_degree
-    touched = jnp.where(bl_valid, flat_t, 0)
-    touched_counts = jnp.where(bl_valid, counts[touched], -1)
-    # take the W most-overflowed touched rows (dups are harmless: same
-    # input row -> same pruned output scattered twice)
-    _, worst_idx = jax.lax.top_k(touched_counts, W)
-    enforce_rows = touched[worst_idx]  # [W]
-    enforce_mask = counts[enforce_rows] > over_cap
-
-    e_ids = neighbors[enforce_rows]  # [W, R_cap]
-    e_scores = scores[enforce_rows]
-    e_ids_m = jnp.where(
-        jnp.arange(R_cap)[None, :] < counts[enforce_rows][:, None], e_ids, -1
-    )
-    e_scores_m = jnp.where(e_ids_m >= 0, e_scores, NEG_INF)
-    e_scores_m = tie_break_scores(enforce_rows, e_ids_m, e_scores_m)
-    e_ids_s, e_scores_s = dedup_sorted_desc(e_ids_m, e_scores_m)
-    e_sim = tie_break_pairs(
-        e_ids_s, _pairwise_from_provider(prune_provider, e_ids_s)
-    )
-    p_ids, p_scores, p_count = robust_prune(
-        e_ids_s, e_scores_s, e_sim, M, config.alphas
-    )
-    p_row_ids = jnp.concatenate(
-        [p_ids, jnp.full((W, R_cap - M), -1, jnp.int32)], axis=1
-    )
-    p_row_scores = jnp.concatenate(
-        [p_scores, jnp.full((W, R_cap - M), NEG_INF)], axis=1
-    )
-    er = jnp.where(enforce_mask, enforce_rows, N_cap)
-    neighbors = neighbors.at[er].set(p_row_ids, mode="drop")
-    scores = scores.at[er].set(p_row_scores, mode="drop")
-    counts = counts.at[er].set(p_count, mode="drop")
-
-    # -- bookkeeping --------------------------------------------------------
-    n_new = jnp.sum(wave_valid).astype(jnp.int32)
-    entry = jnp.where(
-        graph.entry_node >= 0, graph.entry_node, jnp.where(n_new > 0, safe_wave[0], -1)
-    ).astype(jnp.int32)
-
-    return GraphIndex(
-        layers=(GraphLayer(neighbors, scores, counts),) + graph.layers[1:],
-        level_node_ids=graph.level_node_ids,
-        entry_node=entry,
-        num_nodes=graph.num_nodes + n_new,
-        deleted=graph.deleted,
-    )
-
-
-@partial(jax.jit, static_argnames=("config",))
-def _wave_search(
-    graph_neighbors: jax.Array,
-    provider,
-    entry_node: jax.Array,
-    wave_ids: jax.Array,  # int32 [W]
-    wave_vectors: jax.Array,  # float32 [W, D]
-    config: GraphConfig,
-) -> tuple[jax.Array, jax.Array]:
-    """Beam-search a wave against the current graph (read-only program).
-
-    Split out of the insert step so the fused code tables can be DONATED to
-    :func:`_wave_update_fused` and scattered in place: XLA copies a multi-GB
-    buffer that is both captured by a ``while_loop`` and scattered in the
-    same program, so the search (while_loop, read-only) and the update
-    (scatters, no loop over the tables) must be separate programs.
-    """
-    ef = config.ef_construction
-    wave_valid = wave_ids >= 0
-    qstate = provider.prepare(wave_vectors)
-    entries = jnp.where(wave_valid & (entry_node >= 0), entry_node, -1).astype(
-        jnp.int32
-    )
-    beam = search_layer(
-        graph_neighbors,
-        provider,
-        qstate,
-        entries,
-        beam_width=ef,
-        max_iters=config.max_build_iters,
-        expand_per_iter=config.build_expand,
-    )
-    return beam.ids[:, :ef], beam.scores[:, :ef]
-
-
-@partial(jax.jit, static_argnames=("config",), donate_argnums=(0, 1, 2))
-def _wave_update_fused(
-    graph: GraphIndex,
-    fused_packed: jax.Array,  # uint8 [N_cap, R_cap * MP] — DONATED
-    fused_w2: jax.Array,  # f32 [N_cap, R_cap] — DONATED
-    prune_provider,  # full-precision provider (rescore + prune)
-    codes_packed: jax.Array,  # uint8 [N_cap, MP] the build SQ4 codes
-    node_const: jax.Array,  # f32 [N_cap] sim-appropriate per-node constant
-    wave_ids: jax.Array,  # int32 [W]
-    wave_vectors: jax.Array,  # float32 [W, D]
-    beam_ids: jax.Array,  # int32 [W, ef] from _wave_search
-    beam_scores: jax.Array,  # float32 [W, ef] (approximate; rescored here)
-    config: GraphConfig,
-) -> tuple[GraphIndex, jax.Array, jax.Array]:
-    """Insert a searched wave AND keep the fused SQ4 tables slot-exact.
-
-    Mirrors :func:`_insert_wave` steps 2-5, plus: every adjacency write
-    (wave rows, backlink slots, enforce rewrites) is mirrored into
-    ``fused_packed``/``fused_w2`` so the NEXT wave's search gathers one
-    fused row per expansion instead of R code rows (the serve path's ~50x
-    gather cut, applied to construction).  The slot-alignment invariant
-    (fused block j <-> adjacency slot j) is the same one the serve tables
-    rely on.  Candidate rescoring and the prune stay full-precision.
-    """
-    W = wave_ids.shape[0]
-    layer = graph.base
-    N_cap, R_cap = layer.neighbors.shape
-    M = config.max_degree
-    ef = config.ef_construction
-    mp = codes_packed.shape[1]
-    wave_valid = wave_ids >= 0
-    safe_wave = jnp.where(wave_valid, wave_ids, 0)
-
-    # -- 2. intra-wave candidates (replaces insertionsInProgress) --------
-    prune_qstate = prune_provider.prepare(wave_vectors)
-    wave_pair_scores = prune_provider.score(
-        prune_qstate, jnp.broadcast_to(safe_wave[None, :], (W, W))
-    )
-    self_mask = jnp.eye(W, dtype=bool)
-    intra_valid = wave_valid[None, :] & wave_valid[:, None] & ~self_mask
-    intra_scores = jnp.where(intra_valid, wave_pair_scores, NEG_INF)
-    intra_ids = jnp.where(intra_valid, wave_ids[None, :], -1)
-    intra_ids = jnp.broadcast_to(intra_ids, (W, W))
-    # jitter BEFORE the top-ef intra quota: with quantized tie scores the
-    # top_k otherwise picks the SAME lowest-index wave-mates for every
-    # owner and the whole wave funnels into one tiny candidate pool
-    intra_scores = tie_break_scores(safe_wave, intra_ids, intra_scores)
-
-    # -- 3. merge + rescore exact + prune (see _insert_wave for the
-    #       separate-quota / no-score-truncation invariants) --------------
-    if W > ef:
-        intra_top_scores, intra_idx = jax.lax.top_k(intra_scores, ef)
-        intra_top_ids = jnp.take_along_axis(intra_ids, intra_idx, axis=1)
-    else:
-        intra_top_scores, intra_top_ids = intra_scores, intra_ids
-    cand_ids = jnp.concatenate([beam_ids, intra_top_ids], axis=1)
-    cand_scores = jnp.concatenate([beam_scores, intra_top_scores], axis=1)
-    cand_ids, cand_scores = dedup_sorted_desc(cand_ids, cand_scores)
-    valid = cand_ids >= 0
-    rescored = prune_provider.score(prune_qstate, jnp.maximum(cand_ids, 0))
-    cand_scores = jnp.where(valid, rescored, NEG_INF)
-    cand_scores = tie_break_scores(safe_wave, cand_ids, cand_scores)
-    order = jnp.argsort(-cand_scores, axis=1)
-    cand_ids = jnp.take_along_axis(cand_ids, order, axis=1)
-    cand_scores = jnp.take_along_axis(cand_scores, order, axis=1)
-
-    simmat = tie_break_pairs(
-        cand_ids, _pairwise_from_provider(prune_provider, cand_ids)
-    )
-    sel_ids, sel_scores, sel_count = robust_prune(
-        cand_ids, cand_scores, simmat, M, config.alphas
-    )
-
-    # -- 4a. write the wave rows (+ fused mirror) -------------------------
-    pad_cols = R_cap - M
-    row_ids = jnp.concatenate(
-        [sel_ids, jnp.full((W, pad_cols), -1, jnp.int32)], axis=1
-    )
-    row_scores = jnp.concatenate(
-        [sel_scores, jnp.full((W, pad_cols), NEG_INF)], axis=1
-    )
-    scatter_rows = jnp.where(wave_valid, wave_ids, N_cap)
-    neighbors = layer.neighbors.at[scatter_rows].set(row_ids, mode="drop")
-    scores = layer.scores.at[scatter_rows].set(row_scores, mode="drop")
-    counts = layer.counts.at[scatter_rows].set(sel_count, mode="drop")
-
-    def fused_rows_for(ids_rows: jax.Array) -> tuple[jax.Array, jax.Array]:
-        """Gather a full fused row image for adjacency rows ``[B, R_cap]``."""
-        ok = ids_rows >= 0
-        safe = jnp.maximum(ids_rows, 0)
-        f_codes = jnp.where(ok[..., None], codes_packed[safe], 0)
-        f_w2 = jnp.where(ok, node_const[safe], 0.0)
-        return f_codes.reshape(ids_rows.shape[0], -1), f_w2
-
-    f_codes, f_w2 = fused_rows_for(row_ids)
-    fused_packed = scatter_flat_rows_auto(fused_packed, scatter_rows, f_codes)
-    fused_w2 = fused_w2.at[scatter_rows].set(f_w2, mode="drop")
-
-    # -- 4b. backlinks (+ fused slot mirror) ------------------------------
-    flat_t = sel_ids.reshape(-1)
-    flat_s = jnp.broadcast_to(wave_ids[:, None], (W, M)).reshape(-1)
-    flat_sc = sel_scores.reshape(-1)
-    bl_valid = (flat_t >= 0) & (flat_s >= 0)
-
-    t_rows = neighbors[jnp.maximum(flat_t, 0)]
-    exists = jnp.any(t_rows == flat_s[:, None], axis=1)
-    bl_valid &= ~exists
-
-    big = jnp.int32(2**30)
-    key = jnp.where(bl_valid, flat_t, big)
-    key_sorted, s_sorted, sc_sorted, valid_sorted = jax.lax.sort(
-        (key, flat_s, flat_sc, bl_valid.astype(jnp.int32)), num_keys=1
-    )
-    pos_idx = jnp.arange(key.shape[0], dtype=jnp.int32)
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), bool), key_sorted[1:] != key_sorted[:-1]]
-    )
-    run_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_start, pos_idx, 0)
-    )
-    rank = pos_idx - run_start
-
-    t_ok = jnp.where(valid_sorted == 1, key_sorted, 0)
-    slot = counts[t_ok] + rank
-    ok = (valid_sorted == 1) & (slot < R_cap)
-    scatter_t = jnp.where(ok, t_ok, N_cap)
-    scatter_slot = jnp.where(ok, slot, 0)
-    neighbors = neighbors.at[scatter_t, scatter_slot].set(s_sorted, mode="drop")
-    scores = scores.at[scatter_t, scatter_slot].set(sc_sorted, mode="drop")
-    counts = counts.at[jnp.where(ok, t_ok, N_cap)].add(1, mode="drop")
-
-    # Fused mirror for backlink targets — patch-from-old-fused.  Per-slot
-    # alternatives lose badly: a 2-D-index element scatter on [N, R*MP]
-    # compiles pathologically (>10 min); a [N, R*MP]<->[N*R, MP] flat view
-    # materializes 1.5 GB reshape copies every wave (MP=64 < the 128-lane
-    # u8 tile); re-gathering the full row image from codes_packed costs
-    # W*M*R_cap row gathers (12 ms/wave at W=512 — XLA gathers are
-    # row-count bound).  Instead: gather each touched row's CURRENT fused
-    # image (W*M row gathers) and overwrite only the slots appended this
-    # wave.  Entries for one target are contiguous in the target-sorted
-    # order with distinct slots, so the per-run patch is an exact int32
-    # cumsum-segment sum over the entry axis.
-    WM = key_sorted.shape[0]
-    pos_e = jnp.arange(WM, dtype=jnp.int32)
-    is_end = jnp.concatenate([is_start[1:], jnp.ones((1,), bool)])
-    run_end = jax.lax.associative_scan(
-        jnp.minimum, jnp.where(is_end, pos_e, WM - 1), reverse=True
-    )
-    slot_hot = (
-        jax.lax.broadcasted_iota(jnp.int32, (WM, R_cap), 1)
-        == scatter_slot[:, None]
-    ) & ok[:, None]  # [WM, R_cap]
-    src_codes = codes_packed[jnp.maximum(s_sorted, 0)]  # [WM, MP]
-    patch = jnp.where(
-        slot_hot[:, :, None], src_codes[:, None, :].astype(jnp.int32), 0
-    )  # [WM, R_cap, MP] int32 (exact under cumsum)
-    csum = jnp.cumsum(patch, axis=0)
-    run_sum = csum[run_end] - csum + patch  # [WM, R_cap, MP], valid at heads
-    mask_csum = jnp.cumsum(slot_hot.astype(jnp.int32), axis=0)
-    run_mask = (
-        mask_csum[run_end] - mask_csum + slot_hot.astype(jnp.int32)
-    ) > 0  # [WM, R_cap]
-    uniq = (valid_sorted == 1) & is_start
-    bl_rows = jnp.where(uniq, key_sorted, N_cap)
-    old_rows = fused_packed[jnp.minimum(bl_rows, N_cap - 1)].reshape(
-        WM, R_cap, mp
-    )
-    patched = jnp.where(
-        run_mask[:, :, None], run_sum.astype(jnp.uint8), old_rows
-    ).reshape(WM, R_cap * mp)
-    fused_packed = fused_packed.at[bl_rows].set(patched, mode="drop")
-    # fused_w2 is tiny — a direct (row, slot) element scatter is cheap and
-    # avoids float cumsum cancellation error
-    fused_w2 = fused_w2.at[scatter_t, scatter_slot].set(
-        node_const[jnp.maximum(s_sorted, 0)], mode="drop"
-    )
 
     # -- 5. enforce overflow (+ fused row rewrite) ------------------------
     over_cap = config.overflow_degree
@@ -735,7 +486,7 @@ def _wave_update_fused(
     counts = counts.at[er].set(p_count, mode="drop")
 
     pf_codes, pf_w2 = fused_rows_for(p_row_ids)
-    fused_packed = scatter_flat_rows_auto(fused_packed, er, pf_codes)
+    fused_packed = fused_write(fused_packed, er, pf_codes)
     fused_w2 = fused_w2.at[er].set(pf_w2, mode="drop")
 
     # -- bookkeeping ------------------------------------------------------
@@ -826,12 +577,11 @@ def _fused_aligned_config(cfg: GraphConfig, mp: int) -> GraphConfig:
     """Bump row capacity so fused rows are whole HBM tiles.
 
     The fused code table updates run as guaranteed-in-place Pallas row DMAs
-    (ops/pallas/scatter_rows.py) — XLA's scatter COPIES the multi-GB table
-    every wave (~7 ms each at 1M) no matter how the update is phrased.
-    Row DMA needs the row stride (row_cap * MP bytes) to be a whole number
-    of u8 HBM tiles, i.e. a multiple of 1024 bytes; e.g. d=128 (MP=64)
-    aligns row_cap 56 -> 64.  Dims that cannot align within +64 slots fall
-    back to the XLA scatters (correct, just slower).
+    (ops/pallas/scatter_rows.py); row DMA needs the row stride
+    (row_cap * MP bytes) to be a whole number of u8 HBM tiles, i.e. a
+    multiple of 1024 bytes — e.g. d=128 (MP=64) aligns row_cap 56 -> 64.
+    Dims that cannot align within +64 slots fall back to the XLA scatters
+    (correct, just slower: the scatter copies the table each wave).
     """
     r = cfg.row_cap
     r2 = r
@@ -897,7 +647,14 @@ class GraphIndexBuilder:
             # instead of one row per scored edge (Q*E*R rows) — row-count-
             # bound XLA gathers were ~60% of round-2 build time.
             mp = build_provider.codes_packed.shape[1]
-            fused_packed = jnp.zeros((n_cap, cfg.row_cap * mp), jnp.uint8)
+            k_row = cfg.row_cap * mp
+            if k_row % 1024 == 0:
+                # rank-3 whole-tile table: kept rank-3 through the WHOLE
+                # loop (a 2-D view round-trip would relayout-copy 4 GB per
+                # wave once the Pallas call pins the rank-3 layout)
+                fused_packed = jnp.zeros((n_cap, k_row // 128, 128), jnp.uint8)
+            else:
+                fused_packed = jnp.zeros((n_cap, k_row), jnp.uint8)
             fused_w2 = jnp.zeros((n_cap, cfg.row_cap), jnp.float32)
             const = (
                 build_provider.node_norm2

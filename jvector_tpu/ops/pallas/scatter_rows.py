@@ -118,9 +118,12 @@ def scatter_rows3_inplace(
 def scatter_flat_rows_auto(table2d, idx, payload2d):
     """In-place row scatter on a ``[N, K]`` table via the rank-3 view.
 
-    Requires ``K % 1024 == 0`` for u8 tables (whole (8,128)x4-packed HBM
-    tiles per row; the builder aligns its fused row stride to guarantee
-    this).  Falls back to the XLA scatter off-TPU.
+    NOTE: a 2-D table that round-trips through the rank-3 view at every
+    call pays a physical relayout copy per reshape once a Pallas call
+    pins the rank-3 layout (measured 2 x 13 ms/wave at 1M) — callers that
+    update the same table repeatedly should STORE it rank-3 and use
+    :func:`scatter_rows_nd_auto` instead.  Falls back to the XLA scatter
+    off-TPU or when ``K % 1024 != 0``.
     """
     try:
         on_tpu = jax.default_backend() in ("tpu", "axon")
@@ -135,6 +138,21 @@ def scatter_flat_rows_auto(table2d, idx, payload2d):
         table2d.reshape(n, t, 128), idx, payload2d.reshape(b, t, 128)
     )
     return out.reshape(n, k)
+
+
+def scatter_rows_nd_auto(table, idx, payload):
+    """In-place first-dim row scatter for rank-3 ``[N, T, 128]`` tables
+    (u8 fused code tables kept rank-3 across the whole build loop so no
+    layout round-trips ever materialize).  XLA fallback off-TPU."""
+    try:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    if on_tpu:
+        return scatter_rows3_inplace(table, idx, payload)
+    n = table.shape[0]
+    safe = jnp.where((idx >= 0) & (idx < n), idx, n)
+    return table.at[safe].set(payload, mode="drop")
 
 
 def _scatter_slots_kernel(n_rows: int, kp: int):
