@@ -399,8 +399,9 @@ def _wave_update_fused(
         return table.at[rows].set(img, mode="drop")
 
     f_codes, f_w2 = fused_rows_for(row_ids)
-    fused_packed = fused_write(fused_packed, scatter_rows, f_codes)
-    fused_w2 = fused_w2.at[scatter_rows].set(f_w2, mode="drop")
+    # write deferred: all three fused images land in ONE Pallas call below
+    # (XLA only aliases the DONATED PROGRAM INPUT into a custom call —
+    # chaining three aliased calls copied the 4 GB table twice per wave)
 
     # -- 4b. backlinks (+ fused slot mirror) ------------------------------
     flat_t = sel_ids.reshape(-1)
@@ -449,8 +450,6 @@ def _wave_update_fused(
         jnp.arange(R_cap)[None, :] < counts[safe_bl][:, None], r_ids, -1
     )
     bf_codes, bf_w2 = fused_rows_for(r_ids)
-    fused_packed = fused_write(fused_packed, bl_rows, bf_codes)
-    fused_w2 = fused_w2.at[bl_rows].set(bf_w2, mode="drop")
 
     # -- 5. enforce overflow (+ fused row rewrite) ------------------------
     over_cap = config.overflow_degree
@@ -486,8 +485,23 @@ def _wave_update_fused(
     counts = counts.at[er].set(p_count, mode="drop")
 
     pf_codes, pf_w2 = fused_rows_for(p_row_ids)
-    fused_packed = fused_write(fused_packed, er, pf_codes)
-    fused_w2 = fused_w2.at[er].set(pf_w2, mode="drop")
+
+    # -- combined fused-table write: priority enforce > backlink > wave,
+    #    realized by masking lower-priority rows covered by a higher-
+    #    priority image (each surviving index unique; duplicate enforce
+    #    rows carry identical images).  ONE aliased call -> zero copies.
+    wave_in_bl = jnp.any(scatter_rows[:, None] == bl_rows[None, :], axis=1)
+    wave_in_er = jnp.any(scatter_rows[:, None] == er[None, :], axis=1)
+    rows_a = jnp.where(wave_in_bl | wave_in_er, N_cap, scatter_rows)
+    bl_in_er = jnp.any(bl_rows[:, None] == er[None, :], axis=1)
+    rows_b = jnp.where(bl_in_er, N_cap, bl_rows)
+    all_rows = jnp.concatenate([rows_a, rows_b, er])
+    fused_packed = fused_write(
+        fused_packed, all_rows, jnp.concatenate([f_codes, bf_codes, pf_codes])
+    )
+    fused_w2 = fused_w2.at[all_rows].set(
+        jnp.concatenate([f_w2, bf_w2, pf_w2]), mode="drop"
+    )
 
     # -- bookkeeping ------------------------------------------------------
     n_new = jnp.sum(wave_valid).astype(jnp.int32)
