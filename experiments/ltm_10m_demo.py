@@ -16,24 +16,36 @@ from jvector_tpu.util.datasets import synthetic_dataset, recall_at_k
 
 N, D = 10_000_000, 128
 t0 = time.time()
-ds = synthetic_dataset(n=N, dim=D, n_queries=512, k=10, n_clusters=max(64, N // 500), seed=5)
-base_np = np.asarray(ds.base)
-queries = jnp.asarray(ds.queries)
+if os.path.exists("/tmp/synth10m_base.npy"):
+    base_np = np.load("/tmp/synth10m_base.npy", mmap_mode="r")
+    queries_np = np.load("/tmp/synth10m_queries.npy")
+else:
+    ds = synthetic_dataset(n=N, dim=D, n_queries=512, k=10, n_clusters=max(64, N // 500), seed=5)
+    base_np = np.asarray(ds.base)
+    queries_np = np.asarray(ds.queries)
+    np.save("/tmp/synth10m_base.npy", base_np)
+    np.save("/tmp/synth10m_queries.npy", queries_np)
+queries = jnp.asarray(queries_np)
 print(f"synth {time.time()-t0:.1f}s ({base_np.nbytes/1e9:.1f} GB host)", flush=True)
 
 # exact GT by chunked brute force on device
 t0 = time.time()
-CH, top = 500_000, 10
-gt_parts = []
-for a in range(0, N, CH):
-    blk = jnp.asarray(base_np[a:a + CH])
-    d2 = jnp.sum(queries * queries, 1)[:, None] + jnp.sum(blk * blk, 1)[None, :] - 2 * queries @ blk.T
-    vals, idx = jax.lax.top_k(-d2, top)
-    gt_parts.append((np.asarray(-vals), np.asarray(idx) + a))
-allv = np.concatenate([p[0] for p in gt_parts], 1)
-alli = np.concatenate([p[1] for p in gt_parts], 1)
-order = np.argsort(allv, 1)[:, :top]
-gt = np.take_along_axis(alli, order, 1)
+if os.path.exists("/tmp/synth10m_gt.npy"):
+    gt = np.load("/tmp/synth10m_gt.npy")
+else:
+    CH, top = 125_000, 10
+    gt_parts = []
+    for a in range(0, N, CH):
+        blk = jnp.asarray(np.asarray(base_np[a:a + CH]))
+        d2 = jnp.sum(queries * queries, 1)[:, None] + jnp.sum(blk * blk, 1)[None, :] - 2 * queries @ blk.T
+        vals, idx = jax.lax.top_k(-d2, top)
+        gt_parts.append((np.asarray(-vals), np.asarray(idx) + a))
+        del blk, d2, vals, idx
+    allv = np.concatenate([p[0] for p in gt_parts], 1)
+    alli = np.concatenate([p[1] for p in gt_parts], 1)
+    order = np.argsort(allv, 1)[:, :10]
+    gt = np.take_along_axis(alli, order, 1)
+    np.save("/tmp/synth10m_gt.npy", gt)
 print(f"gt {time.time()-t0:.1f}s", flush=True)
 
 path = "/tmp/ltm_10m_sq4.jvtpu"
