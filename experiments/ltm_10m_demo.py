@@ -5,14 +5,16 @@ vectors only ever visit HBM one wave at a time.  Serving: HostGraphIndex
 (adjacency + fused codes memmapped on host, streamed per expansion) + host
 full-precision rerank.  Writes ~43 GB to /tmp.
 """
-import os, time
+import logging, os, time
 import numpy as np
+
+logging.basicConfig(level=logging.INFO)
 import jax, jax.numpy as jnp
 from jvector_tpu.disk.host_graph import HostGraphIndex
 from jvector_tpu.disk.host_tier import HostVectorStore
 from jvector_tpu.disk.ltm import build_on_disk_ltm
 from jvector_tpu.graph import GraphConfig
-from jvector_tpu.util.datasets import synthetic_dataset, recall_at_k
+from jvector_tpu.util.datasets import recall_at_k
 
 N, D = 10_000_000, 128
 t0 = time.time()
@@ -20,9 +22,23 @@ if os.path.exists("/tmp/synth10m_base.npy"):
     base_np = np.load("/tmp/synth10m_base.npy", mmap_mode="r")
     queries_np = np.load("/tmp/synth10m_queries.npy")
 else:
-    ds = synthetic_dataset(n=N, dim=D, n_queries=512, k=10, n_clusters=max(64, N // 500), seed=5)
-    base_np = np.asarray(ds.base)
-    queries_np = np.asarray(ds.queries)
+    # inline corpus generation (synthetic_dataset computes its own full
+    # ground truth, which at 10M is a redundant second device pass)
+    rng = np.random.default_rng(5)
+    ld = 32
+    proj = rng.normal(size=(ld, D)).astype(np.float32)
+    proj /= np.linalg.norm(proj, axis=1, keepdims=True)
+    n_clusters = max(64, N // 500)
+    centers_z = rng.normal(0.0, 1.0, size=(n_clusters, ld)).astype(np.float32)
+
+    def sample(count):
+        z = centers_z[rng.integers(0, n_clusters, size=count)] + rng.normal(
+            0.0, 0.35, size=(count, ld)
+        ).astype(np.float32)
+        return (z @ proj + rng.normal(0.0, 0.03, size=(count, D))).astype(np.float32)
+
+    base_np = sample(N)
+    queries_np = sample(512)
     np.save("/tmp/synth10m_base.npy", base_np)
     np.save("/tmp/synth10m_queries.npy", queries_np)
 queries = jnp.asarray(queries_np)

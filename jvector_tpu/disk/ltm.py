@@ -34,6 +34,27 @@ from jvector_tpu.ops.similarity import SimilarityFunction
 from jvector_tpu.quantization.pq import ProductQuantization
 
 
+def _add_array_chunked(
+    writer: IndexFileWriter,
+    name: str,
+    arr: jax.Array,
+    dtype,
+    max_bytes: int = 256 << 20,
+) -> None:
+    """Stream a device array into the file in bounded transfers.
+
+    Multi-GB single ``np.asarray`` downloads have crashed the remote-chip
+    tunnel at 10M scale; bounded row-chunk transfers also keep host RSS flat.
+    """
+    dt = np.dtype(dtype)
+    shape = tuple(arr.shape)
+    row_bytes = max(1, int(np.prod(shape[1:]))) * dt.itemsize
+    writer.reserve_array(name, shape, dt)
+    chunk = max(1, max_bytes // row_bytes)
+    for a in range(0, shape[0], chunk):
+        writer.write_rows(name, a, np.asarray(arr[a : a + chunk], dt))
+
+
 def build_on_disk_ltm(
     path: str,
     vectors: "np.ndarray | Callable[[int, int], np.ndarray]",
@@ -213,8 +234,21 @@ def _build_on_disk_ltm_sq4(path, load, n, dim, config, sim, training_sample, see
             sim=sim,
         )
 
+    import logging
+    import time as _time
+
+    log = logging.getLogger(__name__)
+    t_wave = _time.time()
     w = config.wave_size
-    for start in _shuffled_wave_starts(n, w):
+    for wi, start in enumerate(_shuffled_wave_starts(n, w)):
+        if wi and wi % 256 == 0:
+            # bounded sync: surfaces async device faults at an attributable
+            # wave instead of at save time, and keeps the dispatch queue short
+            jax.block_until_ready(graph.base.neighbors)
+            log.info(
+                "ltm build wave %d/%d (%.1fs)",
+                wi, (n + w - 1) // w, _time.time() - t_wave,
+            )
         stop = min(start + w, n)
         wave_np = np.asarray(load(start, stop), np.float32)
         writer.write_rows(
@@ -243,8 +277,12 @@ def _build_on_disk_ltm_sq4(path, load, n, dim, config, sim, training_sample, see
         graph = _insert_wave(graph, provider, jnp.asarray(ids), wave, config)
 
     provider = make_provider(codes, node_w2, node_norm2, aug)
+    jax.block_until_ready(graph.base.neighbors)
+    log.info("ltm build waves done (%.1fs); cleanup", _time.time() - t_wave)
     builder = GraphIndexBuilder(config)
     graph = builder.cleanup(graph, provider, vectors=None)
+    jax.block_until_ready(graph.base.neighbors)
+    log.info("ltm cleanup done (%.1fs); save", _time.time() - t_wave)
     centroid = jnp.mean(provider.decode(jnp.arange(min(n, 65_536))), axis=0)[None]
     qstate = provider.prepare(centroid)
     entry_scores = provider.score(
@@ -263,10 +301,10 @@ def _build_on_disk_ltm_sq4(path, load, n, dim, config, sim, training_sample, see
     keep_fused_on_device = fused_bytes < (4 << 30)
 
     for l, layer in enumerate(graph.layers):
-        writer.add_array(f"graph/L{l}/neighbors", np.asarray(layer.neighbors))
+        _add_array_chunked(writer, f"graph/L{l}/neighbors", layer.neighbors, np.int32)
         writer.add_array(f"graph/L{l}/counts", np.asarray(layer.counts))
     f = f"feature/{FeatureId.FUSED_SQ4}"
-    writer.add_array(f"{f}/codes_packed", np.asarray(codes))
+    _add_array_chunked(writer, f"{f}/codes_packed", codes, np.uint8)
     writer.add_array(f"{f}/node_const", np.asarray(const))
     if keep_fused_on_device:
         fused_packed, fused_w2 = build_fused_sq4(graph.base.neighbors, codes, const)
@@ -281,8 +319,8 @@ def _build_on_disk_ltm_sq4(path, load, n, dim, config, sim, training_sample, see
             codes_aug=aug,
             sim=sim,
         )
-        writer.add_array(f"{f}/fused_packed", np.asarray(fused_packed))
-        writer.add_array(f"{f}/fused_w2", np.asarray(fused_w2))
+        _add_array_chunked(writer, f"{f}/fused_packed", fused_packed, np.uint8)
+        _add_array_chunked(writer, f"{f}/fused_w2", fused_w2, np.float32)
     else:
         provider = make_provider(codes, node_w2, node_norm2, aug)
         writer.reserve_array(
