@@ -436,20 +436,30 @@ def _wave_update_fused(
     scores = scores.at[scatter_t, scatter_slot].set(sc_sorted, mode="drop")
     counts = counts.at[jnp.where(ok, t_ok, N_cap)].add(1, mode="drop")
 
-    # Fused mirror for backlink targets: rewrite the FULL fused row of
-    # every unique touched target from codes_packed (W*M*R_cap row gathers,
-    # ~7 ms/wave at W=512) WITHOUT reading the fused table: a gather from
-    # the donated table followed by a scatter into it forces a copy, and
-    # slot-granular patches (2-D-index element scatter, flat views, cumsum
-    # segment patches) all compile or run worse — see fused_write.
-    uniq = (valid_sorted == 1) & is_start
-    bl_rows = jnp.where(uniq, key_sorted, N_cap)
-    safe_bl = jnp.minimum(bl_rows, N_cap - 1)
-    r_ids = neighbors[safe_bl]
-    r_ids = jnp.where(
-        jnp.arange(R_cap)[None, :] < counts[safe_bl][:, None], r_ids, -1
+    # Fused mirror for backlink targets.  Rank-3 aligned tables take the
+    # SLOT-PATCH path: the combined Pallas kernel RMWs just the new slot of
+    # each touched row in place (a backlink only APPENDS one slot), so no
+    # backlink row images are built at all.  The unaligned/2-D fallback
+    # rewrites the FULL fused row of every unique touched target from
+    # codes_packed (W*M*R_cap row gathers, ~14 ms/wave at W=512) — XLA
+    # phrasings of the slot patch (2-D-index element scatter, flat views,
+    # cumsum segment patches) all compile or run worse, and a gather from
+    # the donated table followed by a scatter into it forces a copy.
+    from jvector_tpu.ops.pallas.scatter_rows import (
+        fused_update_auto,
+        fused_update_supported,
     )
-    bf_codes, bf_w2 = fused_rows_for(r_ids)
+
+    slot_patch = fused_update_supported(fused_packed.ndim, mp)
+    if not slot_patch:
+        uniq = (valid_sorted == 1) & is_start
+        bl_rows = jnp.where(uniq, key_sorted, N_cap)
+        safe_bl = jnp.minimum(bl_rows, N_cap - 1)
+        r_ids = neighbors[safe_bl]
+        r_ids = jnp.where(
+            jnp.arange(R_cap)[None, :] < counts[safe_bl][:, None], r_ids, -1
+        )
+        bf_codes, bf_w2 = fused_rows_for(r_ids)
 
     # -- 5. enforce overflow (+ fused row rewrite) ------------------------
     over_cap = config.overflow_degree
@@ -486,22 +496,54 @@ def _wave_update_fused(
 
     pf_codes, pf_w2 = fused_rows_for(p_row_ids)
 
-    # -- combined fused-table write: priority enforce > backlink > wave,
-    #    realized by masking lower-priority rows covered by a higher-
-    #    priority image (each surviving index unique; duplicate enforce
-    #    rows carry identical images).  ONE aliased call -> zero copies.
-    wave_in_bl = jnp.any(scatter_rows[:, None] == bl_rows[None, :], axis=1)
+    # -- combined fused-table write, ONE aliased call -> zero copies.
     wave_in_er = jnp.any(scatter_rows[:, None] == er[None, :], axis=1)
-    rows_a = jnp.where(wave_in_bl | wave_in_er, N_cap, scatter_rows)
-    bl_in_er = jnp.any(bl_rows[:, None] == er[None, :], axis=1)
-    rows_b = jnp.where(bl_in_er, N_cap, bl_rows)
-    all_rows = jnp.concatenate([rows_a, rows_b, er])
-    fused_packed = fused_write(
-        fused_packed, all_rows, jnp.concatenate([f_codes, bf_codes, pf_codes])
-    )
-    fused_w2 = fused_w2.at[all_rows].set(
-        jnp.concatenate([f_w2, bf_w2, pf_w2]), mode="drop"
-    )
+    rows_a = jnp.where(wave_in_er, N_cap, scatter_rows)
+    if slot_patch:
+        # priority enforce > patch > wave is the kernel's phase order:
+        # wave images land, slot patches RMW on top (so wave members that
+        # receive backlinks get both), enforce images land last.  Patches
+        # into enforce rows are masked out (pf images already include the
+        # surviving backlinks).  Masking only removes whole runs (er rows)
+        # or run tails (slot >= R_cap), so the sorted patch stream stays
+        # run-contiguous — the kernel's one-RMW-per-run invariant.
+        in_er = jnp.any(key_sorted[:, None] == er[None, :], axis=1)
+        p_ok = ok & ~in_er
+        p_rows = jnp.where(p_ok, t_ok, -1)
+        src_codes = codes_packed[jnp.maximum(s_sorted, 0)]
+        t3 = fused_packed.shape[1]
+        fused_packed = fused_update_auto(
+            fused_packed,
+            rows_a,
+            f_codes.reshape(W, t3, 128),
+            p_rows,
+            scatter_slot,
+            src_codes,
+            er,
+            pf_codes.reshape(W, t3, 128),
+            mp,
+        )
+        src_const = jnp.where(p_ok, node_const[jnp.maximum(s_sorted, 0)], 0.0)
+        fused_w2 = fused_w2.at[rows_a].set(f_w2, mode="drop")
+        fused_w2 = fused_w2.at[
+            jnp.where(p_ok, t_ok, N_cap), scatter_slot
+        ].set(src_const, mode="drop")
+        fused_w2 = fused_w2.at[er].set(pf_w2, mode="drop")
+    else:
+        # full-image fallback: mask lower-priority rows covered by a
+        # higher-priority image (each surviving index unique; duplicate
+        # enforce rows carry identical images)
+        wave_in_bl = jnp.any(scatter_rows[:, None] == bl_rows[None, :], axis=1)
+        rows_a = jnp.where(wave_in_bl, N_cap, rows_a)
+        bl_in_er = jnp.any(bl_rows[:, None] == er[None, :], axis=1)
+        rows_b = jnp.where(bl_in_er, N_cap, bl_rows)
+        all_rows = jnp.concatenate([rows_a, rows_b, er])
+        fused_packed = fused_write(
+            fused_packed, all_rows, jnp.concatenate([f_codes, bf_codes, pf_codes])
+        )
+        fused_w2 = fused_w2.at[all_rows].set(
+            jnp.concatenate([f_w2, bf_w2, pf_w2]), mode="drop"
+        )
 
     # -- bookkeeping ------------------------------------------------------
     n_new = jnp.sum(wave_valid).astype(jnp.int32)

@@ -240,6 +240,371 @@ def scatter_slots_auto(table, idx, off, payload):
     return scatter_slots_ref(table, idx, off, payload)
 
 
+def _patch_chunk(p: int, t: int, hint: int = 512) -> int:
+    """RMW chunk size for the fused-update patch phase — the ONE place this
+    is computed: :func:`fused_update_patch_meta`'s chunk-local last indices
+    must agree with the kernel's chunking or cross-chunk runs corrupt."""
+    chunk = min(hint, max(64, (4 << 20) // (t * 128)))
+    return min(chunk, max(p, 1))
+
+
+def _fused_update_kernel(n_rows: int, chunk: int, n_chunks: int):
+    """Combined fused-table update: wave row writes, backlink slot RMW
+    patches, enforce row writes — one aliased call (see
+    :func:`fused_update_inplace` for the phase contract)."""
+
+    def kernel(
+        wave_rows_ref,  # [W] i32 scalar prefetch
+        patch_rows_ref,  # [P] i32 sorted by row; -1/big = skip
+        patch_q_ref,  # [P] i32 first sublane row of the slot
+        patch_lo_ref,  # [P] i32 slot start byte within the row
+        patch_hi_ref,  # [P] i32 slot end byte (exclusive)
+        patch_last_ref,  # [P] i32 chunk-local index of the run's last item
+        er_rows_ref,  # [E] i32
+        wave_img_ref,  # [W, T, 128] u8 (HBM)
+        patch_img_ref,  # [P, R128, 128] u8 (HBM) positioned slot payload
+        er_img_ref,  # [E, T, 128] u8 (HBM)
+        table_ref,  # [N, T, 128] u8 (HBM, aliased) — unused; rows read
+        out_ref,  # [N, T, 128] u8 == table buffer      via out_ref
+        buf,  # VMEM [chunk, T, 128] u8
+        pbuf,  # VMEM [chunk, R128, 128] u8
+        sem_row,
+        sem_r,
+        sem_w,
+        sem_p,
+    ):
+        T = out_ref.shape[1]
+        r128 = patch_img_ref.shape[1]
+        P = patch_rows_ref.shape[0]
+
+        def row_phase(rows_ref, img_ref, count):
+            def issue(i, started):
+                r = rows_ref[i]
+                ok = (r >= 0) & (r < n_rows)
+
+                def do():
+                    pltpu.make_async_copy(
+                        img_ref.at[i], out_ref.at[r], sem_row
+                    ).start()
+                    return started + 1
+
+                return jax.lax.cond(ok, do, lambda: started)
+
+            started = jax.lax.fori_loop(0, count, issue, jnp.int32(0))
+
+            def drain(i, _):
+                pltpu.make_async_copy(
+                    img_ref.at[0], out_ref.at[0], sem_row
+                ).wait()
+                return 0
+
+            jax.lax.fori_loop(0, started, drain, 0)
+
+        # -- phase 1: wave rows (full images) -----------------------------
+        row_phase(wave_rows_ref, wave_img_ref, wave_img_ref.shape[0])
+
+        # -- phase 2: backlink slot patches (chunked RMW) -----------------
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (T, 128), 0)
+        byte_iota = sub_iota * 128 + jax.lax.broadcasted_iota(
+            jnp.int32, (T, 128), 1
+        )
+
+        def chunk_body(c, _):
+            base = c * chunk
+            pltpu.make_async_copy(
+                patch_img_ref.at[pl.ds(base, chunk)], pbuf, sem_p
+            ).start()
+
+            def issue_read(i, started):
+                gi = base + i
+                r = patch_rows_ref[gi]
+                ok = (r >= 0) & (r < n_rows) & (patch_last_ref[gi] == i)
+
+                def do():
+                    pltpu.make_async_copy(
+                        out_ref.at[r], buf.at[i], sem_r
+                    ).start()
+                    return started + 1
+
+                return jax.lax.cond(ok, do, lambda: started)
+
+            nreads = jax.lax.fori_loop(0, chunk, issue_read, jnp.int32(0))
+            pltpu.make_async_copy(
+                patch_img_ref.at[pl.ds(base, chunk)], pbuf, sem_p
+            ).wait()
+
+            def drain_r(i, _):
+                pltpu.make_async_copy(
+                    out_ref.at[0], buf.at[0], sem_r
+                ).wait()
+                return 0
+
+            jax.lax.fori_loop(0, nreads, drain_r, 0)
+
+            def patch(i, _):
+                gi = base + i
+                r = patch_rows_ref[gi]
+                ok = (r >= 0) & (r < n_rows)
+
+                def do():
+                    b = patch_last_ref[gi]
+                    q0 = patch_q_ref[gi]
+                    lo = patch_lo_ref[gi]
+                    hi = patch_hi_ref[gi]
+                    cur = buf[b]  # [T, 128]
+                    in_slot = (byte_iota >= lo) & (byte_iota < hi)
+                    for k in range(r128):
+                        mask = in_slot & (sub_iota == q0 + k)
+                        cur = jnp.where(mask, pbuf[i, k][None, :], cur)
+                    buf[b] = cur
+                    return 0
+
+                jax.lax.cond(ok, do, lambda: 0)
+                return 0
+
+            jax.lax.fori_loop(0, chunk, patch, 0)
+
+            def issue_write(i, started):
+                gi = base + i
+                r = patch_rows_ref[gi]
+                ok = (r >= 0) & (r < n_rows) & (patch_last_ref[gi] == i)
+
+                def do():
+                    pltpu.make_async_copy(
+                        buf.at[i], out_ref.at[r], sem_w
+                    ).start()
+                    return started + 1
+
+                return jax.lax.cond(ok, do, lambda: started)
+
+            nw = jax.lax.fori_loop(0, chunk, issue_write, jnp.int32(0))
+
+            def drain_w(i, _):
+                pltpu.make_async_copy(
+                    buf.at[0], out_ref.at[0], sem_w
+                ).wait()
+                return 0
+
+            # full drain before the next chunk's reads: a run of patches to
+            # one row may straddle the chunk boundary, and the next chunk
+            # re-reads the row to continue it
+            jax.lax.fori_loop(0, nw, drain_w, 0)
+            return 0
+
+        if P:
+            jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+        # -- phase 3: enforce rows (full images, highest priority) --------
+        row_phase(er_rows_ref, er_img_ref, er_img_ref.shape[0])
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "chunk_hint"), donate_argnums=(0,)
+)
+def fused_update_inplace(
+    table: jax.Array,  # [N, T, 128] u8 — DONATED, updated in place
+    wave_rows: jax.Array,  # [W] i32 (-1/N = drop)
+    wave_img: jax.Array,  # [W, T, 128] u8
+    patch_rows: jax.Array,  # [P] i32 SORTED by row (-1/big = drop)
+    patch_q: jax.Array,  # [P] i32 first sublane row of each slot
+    patch_lo: jax.Array,  # [P] i32 slot start byte offset within the row
+    patch_hi: jax.Array,  # [P] i32 slot end byte offset (exclusive)
+    patch_last: jax.Array,  # [P] i32 chunk-local last-occurrence index
+    patch_img: jax.Array,  # [P, R128, 128] u8 slot payload, lane-positioned
+    er_rows: jax.Array,  # [E] i32
+    er_img: jax.Array,  # [E, T, 128] u8
+    interpret: bool = False,
+    chunk_hint: int = 512,
+) -> jax.Array:
+    """One-call fused-table wave update, fully in place.
+
+    Phase order = write priority: wave row images land first, backlink slot
+    patches RMW on top of them (so a wave member that also receives
+    backlinks ends up with both), enforce-rewritten rows land last and win
+    outright (callers must exclude er rows from ``patch_rows``).  Backlink
+    patches to one row within a chunk share a single read-modify-write via
+    ``patch_last`` (the chunk-local index of the run's last occurrence —
+    runs are contiguous because ``patch_rows`` is sorted); runs straddling
+    a chunk boundary are correct because writes drain before the next
+    chunk's reads.
+    """
+    n, t, _ = table.shape
+    p = patch_rows.shape[0]
+    chunk = _patch_chunk(p, t, chunk_hint)
+    n_chunks = -(-p // chunk) if p else 0
+    if p and p % chunk:  # pad patch arrays so every chunk is full
+        pad = n_chunks * chunk - p
+        neg = jnp.full((pad,), -1, jnp.int32)
+        patch_rows = jnp.concatenate([patch_rows, neg])
+        patch_q = jnp.concatenate([patch_q, neg])
+        patch_lo = jnp.concatenate([patch_lo, neg])
+        patch_hi = jnp.concatenate([patch_hi, neg])
+        patch_last = jnp.concatenate([patch_last, neg])
+        patch_img = jnp.concatenate(
+            [patch_img, jnp.zeros((pad,) + patch_img.shape[1:], patch_img.dtype)]
+        )
+    r128 = patch_img.shape[1]
+    return pl.pallas_call(
+        _fused_update_kernel(n, chunk, n_chunks),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=7,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # wave_img
+                pl.BlockSpec(memory_space=pltpu.ANY),  # patch_img
+                pl.BlockSpec(memory_space=pltpu.ANY),  # er_img
+                pl.BlockSpec(memory_space=pltpu.ANY),  # table (aliased)
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((chunk, t, 128), table.dtype),
+                pltpu.VMEM((chunk, r128, 128), patch_img.dtype),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(table.shape, table.dtype),
+        input_output_aliases={10: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        wave_rows,
+        patch_rows,
+        patch_q,
+        patch_lo,
+        patch_hi,
+        patch_last,
+        er_rows,
+        wave_img,
+        patch_img,
+        er_img,
+        table,
+    )
+
+
+def fused_update_ref(
+    table,
+    wave_rows,
+    wave_img,
+    patch_rows,
+    patch_lo,
+    patch_hi,
+    patch_src,  # [P, MP] raw slot codes (NOT lane-positioned)
+    er_rows,
+    er_img,
+):
+    """jnp reference (copying) with the same phase priority, for tests and
+    non-TPU backends.  Takes raw ``[P, MP]`` slot codes; the flat byte
+    range ``[patch_lo, patch_hi)`` of each row is overwritten."""
+    n, t, lanes = table.shape
+    k = t * lanes
+    flat = table.reshape(n, k)
+    w_ok = (wave_rows >= 0) & (wave_rows < n)
+    flat = flat.at[jnp.where(w_ok, wave_rows, n)].set(
+        wave_img.reshape(wave_img.shape[0], k), mode="drop"
+    )
+    p_ok = (patch_rows >= 0) & (patch_rows < n)
+    mp = patch_src.shape[1]
+    cols = patch_lo[:, None] + jnp.arange(mp, dtype=jnp.int32)[None, :]
+    rows_b = jnp.broadcast_to(
+        jnp.where(p_ok, patch_rows, n)[:, None], cols.shape
+    )
+    flat = flat.at[rows_b, cols].set(patch_src, mode="drop")
+    e_ok = (er_rows >= 0) & (er_rows < n)
+    flat = flat.at[jnp.where(e_ok, er_rows, n)].set(
+        er_img.reshape(er_img.shape[0], k), mode="drop"
+    )
+    return flat.reshape(n, t, lanes)
+
+
+def fused_update_patch_meta(
+    patch_rows: jax.Array,  # [P] i32 sorted by row
+    patch_slots: jax.Array,  # [P] i32 slot index within the row
+    patch_src: jax.Array,  # [P, MP] u8 raw slot codes
+    mp: int,
+    chunk_hint: int,
+    t: int,
+):
+    """Derive the kernel's per-patch metadata from (row, slot, code).
+
+    Returns ``(patch_q, patch_lo, patch_hi, patch_last, patch_img)`` for
+    :func:`fused_update_inplace`.  Requires ``mp % 128 == 0`` or
+    ``128 % mp == 0`` (lane-positionable without byte scatters) — callers
+    fall back to full row images otherwise.
+    """
+    p = patch_rows.shape[0]
+    lo = patch_slots * mp
+    hi = lo + mp
+    q = lo // 128
+    pos = jnp.arange(p, dtype=jnp.int32)
+    is_end = jnp.concatenate(
+        [patch_rows[1:] != patch_rows[:-1], jnp.ones((1,), bool)]
+    )
+    big = jnp.int32(2**30)
+    run_end = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(is_end, pos, big), reverse=True
+    )
+    chunk = _patch_chunk(p, t, chunk_hint)
+    chunk_end = (pos // chunk) * chunk + (chunk - 1)
+    patch_last = jnp.minimum(run_end, chunk_end) - (pos // chunk) * chunk
+    if mp % 128 == 0:
+        img = patch_src.reshape(p, mp // 128, 128)
+    else:
+        # mp divides 128: tile the code to a full lane row, then keep only
+        # the slot's lanes (slot offsets are multiples of mp, so the tiled
+        # copy is already positioned)
+        reps = 128 // mp
+        tiled = jnp.tile(patch_src, (1, reps))
+        lane = jnp.arange(128, dtype=jnp.int32)[None, :]
+        lane_lo = lo[:, None] % 128
+        img = jnp.where(
+            (lane >= lane_lo) & (lane < lane_lo + mp), tiled, 0
+        )[:, None, :]
+    return q, lo, hi, patch_last, img
+
+
+def fused_update_supported(table_ndim: int, mp: int) -> bool:
+    """Whether the slot-patch fused update applies to this table/code shape."""
+    return table_ndim == 3 and (mp % 128 == 0 or 128 % mp == 0)
+
+
+def fused_update_auto(
+    table,  # [N, T, 128] u8 (rank-3 aligned build tables only)
+    wave_rows,  # [W] i32
+    wave_img,  # [W, T, 128] u8
+    patch_rows,  # [P] i32 sorted by row (-1 = drop; run-contiguous)
+    patch_slots,  # [P] i32 slot index within the row
+    patch_src,  # [P, MP] u8 raw slot codes
+    er_rows,  # [E] i32
+    er_img,  # [E, T, 128] u8
+    mp: int,
+):
+    """Combined wave/patch/enforce fused-table update; in-place Pallas on
+    TPU, copying XLA reference elsewhere.  See :func:`fused_update_inplace`
+    for the phase-priority contract."""
+    try:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    t = table.shape[1]
+    q, lo, hi, last, img = fused_update_patch_meta(
+        patch_rows, patch_slots, patch_src, mp, 512, t
+    )
+    if on_tpu:
+        return fused_update_inplace(
+            table, wave_rows, wave_img, patch_rows, q, lo, hi, last, img,
+            er_rows, er_img,
+        )
+    return fused_update_ref(
+        table, wave_rows, wave_img, patch_rows, lo, hi, patch_src,
+        er_rows, er_img,
+    )
+
+
 def scatter_rows_ref(table, idx, payload):
     """jnp reference (copying) for tests / non-TPU backends."""
     n = table.shape[0]

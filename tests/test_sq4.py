@@ -200,3 +200,76 @@ def test_sq4_anisotropic_encoding_improves_mips():
     # codes remain valid packed nibbles usable by every SQ4 surface
     codes = sq.encode_anisotropic(x[:256], threshold=0.2)
     assert codes.shape == sq.encode(x[:256]).shape
+
+
+def test_incremental_fused_tables_match_adjacency():
+    """The slot-patch incremental fused tables must equal a from-scratch
+    rebuild from the final adjacency after every wave (the slot-alignment
+    invariant the build searches rely on)."""
+    import dataclasses
+
+    import jax
+
+    from jvector_tpu.graph import GraphConfig
+    from jvector_tpu.graph.builder import (
+        GraphIndexBuilder,
+        _fused_aligned_config,
+        _shuffled_wave_starts,
+        _wave_search,
+        _wave_update_fused,
+    )
+    from jvector_tpu.graph.index import bucket_capacity, empty_graph
+    from jvector_tpu.graph.score import ExactScoreProvider, build_fused_sq4
+    from jvector_tpu.ops.similarity import SimilarityFunction
+
+    rng = np.random.default_rng(7)
+    n, d = 700, 128
+    base = rng.normal(size=(n, d)).astype(np.float32)
+    cfg = _fused_aligned_config(
+        GraphConfig(max_degree=16, wave_size=128, ef_construction=32),
+        (d + 1) // 2,
+    )
+    assert (cfg.row_cap * ((d + 1) // 2)) % 1024 == 0  # rank-3 path active
+    n_cap = bucket_capacity(n)
+    vectors = jnp.asarray(base)
+    builder = GraphIndexBuilder(cfg)
+    bp0 = builder._sq4_build_provider(vectors, n_cap, SimilarityFunction.EUCLIDEAN)
+    exact = ExactScoreProvider(
+        vectors=jnp.concatenate(
+            [vectors, jnp.zeros((n_cap - n, d), jnp.float32)]
+        ),
+        sim=SimilarityFunction.EUCLIDEAN,
+    )
+    graph = empty_graph(n_cap, cfg)
+    mp = bp0.codes_packed.shape[1]
+    k_row = cfg.row_cap * mp
+    fused_packed = jnp.zeros((n_cap, k_row // 128, 128), jnp.uint8)
+    fused_w2 = jnp.zeros((n_cap, cfg.row_cap), jnp.float32)
+    const = bp0.node_w2
+    for start in _shuffled_wave_starts(n, cfg.wave_size):
+        ids = np.arange(start, start + cfg.wave_size, dtype=np.int32)
+        ids = np.where(ids < n, ids, -1)
+        ids_dev = jnp.asarray(ids)
+        wv = vectors[jnp.minimum(jnp.maximum(ids_dev, 0), n - 1)]
+        bp = dataclasses.replace(
+            bp0, fused_packed=fused_packed, fused_w2=fused_w2
+        )
+        beam_ids, beam_scores = _wave_search(
+            graph.base.neighbors, bp, graph.entry_node, ids_dev, wv, cfg
+        )
+        graph, fused_packed, fused_w2 = _wave_update_fused(
+            graph, fused_packed, fused_w2, exact, bp0.codes_packed, const,
+            ids_dev, wv, beam_ids, beam_scores, cfg,
+        )
+    # ground truth: rebuild from the final adjacency (count-masked rows)
+    nbrs = np.asarray(graph.base.neighbors)
+    counts = np.asarray(graph.base.counts)
+    masked = np.where(np.arange(cfg.row_cap)[None, :] < counts[:, None], nbrs, -1)
+    want_p, want_w2 = build_fused_sq4(
+        jnp.asarray(masked), bp0.codes_packed, const
+    )
+    got_p = np.asarray(fused_packed).reshape(n_cap, k_row)
+    np.testing.assert_array_equal(got_p, np.asarray(want_p))
+    np.testing.assert_allclose(
+        np.asarray(fused_w2), np.asarray(want_w2), rtol=1e-6
+    )
