@@ -154,7 +154,7 @@ def _insert_wave(
         cand_ids, _pairwise_from_provider(prune_provider, cand_ids)
     )
     sel_ids, sel_scores, sel_count = robust_prune(
-        cand_ids, cand_scores, simmat, M, config.alphas
+        cand_ids, cand_scores, simmat, M, config.alphas, algo=config.prune_algo
     )  # [W, M]
 
     # -- 4a. write the wave rows ------------------------------------------
@@ -227,7 +227,7 @@ def _insert_wave(
         e_ids_s, _pairwise_from_provider(prune_provider, e_ids_s)
     )
     p_ids, p_scores, p_count = robust_prune(
-        e_ids_s, e_scores_s, e_sim, M, config.alphas
+        e_ids_s, e_scores_s, e_sim, M, config.alphas, algo=config.prune_algo
     )
     p_row_ids = jnp.concatenate(
         [p_ids, jnp.full((W, R_cap - M), -1, jnp.int32)], axis=1
@@ -360,7 +360,7 @@ def _wave_update_fused(
         cand_ids, _pairwise_from_provider(prune_provider, cand_ids)
     )
     sel_ids, sel_scores, sel_count = robust_prune(
-        cand_ids, cand_scores, simmat, M, config.alphas
+        cand_ids, cand_scores, simmat, M, config.alphas, algo=config.prune_algo
     )
 
     # -- 4a. write the wave rows (+ fused mirror) -------------------------
@@ -481,7 +481,7 @@ def _wave_update_fused(
         e_ids_s, _pairwise_from_provider(prune_provider, e_ids_s)
     )
     p_ids, p_scores, p_count = robust_prune(
-        e_ids_s, e_scores_s, e_sim, M, config.alphas
+        e_ids_s, e_scores_s, e_sim, M, config.alphas, algo=config.prune_algo
     )
     p_row_ids = jnp.concatenate(
         [p_ids, jnp.full((W, R_cap - M), -1, jnp.int32)], axis=1
@@ -586,7 +586,7 @@ def _enforce_chunk(
         e_ids_s, _pairwise_from_provider(provider, e_ids_s)
     )
     p_ids, p_scores, p_count = robust_prune(
-        e_ids_s, e_scores_s, simmat, M, config.alphas
+        e_ids_s, e_scores_s, simmat, M, config.alphas, algo=config.prune_algo
     )
     row_ids = jnp.concatenate(
         [p_ids, jnp.full((chunk, R_cap - M), -1, jnp.int32)], axis=1
@@ -909,7 +909,7 @@ def _refine_chunk(
         cand_ids, _pairwise_from_provider(provider, cand_ids)
     )
     p_ids, p_scores, p_count = robust_prune(
-        cand_ids, cand_scores, simmat, M, config.alphas
+        cand_ids, cand_scores, simmat, M, config.alphas, algo=config.prune_algo
     )
     row_ids = jnp.concatenate(
         [p_ids, jnp.full((chunk, R_cap - M), -1, jnp.int32)], axis=1

@@ -91,20 +91,136 @@ def dedup_sorted_desc(ids: jax.Array, scores: jax.Array):
 
 
 @partial(jax.jit, static_argnames=("max_degree", "alphas"))
-def robust_prune(
+def robust_prune_fixpoint(
     cand_ids: jax.Array,  # int32 [B, C], -1 padded, unique per row
     cand_scores: jax.Array,  # float32 [B, C] similarity to the owning node
     simmat: jax.Array,  # float32 [B, C, C] candidate-pair similarities
     max_degree: int,
     alphas: tuple[float, ...] = (1.0, 1.2),
 ):
-    """Batched robust prune.
+    """Greedy-EQUIVALENT robust prune in O(chain-depth) parallel rounds.
+
+    The sequential greedy scan (:func:`robust_prune`) is the
+    lexicographically-first maximal independent set of the dominance
+    relation ``dom(j, i) = j < i  and  sim(j, i) > score_i * alpha`` —
+    inherently sequential, ~C * len(alphas) tiny steps (~8 ms/wave at
+    C~230 on TPU, pure loop-latency).  Equivalent reformulation proved by
+    two facts:
+
+    1. **Uncapped prefix**: capped greedy equals uncapped greedy truncated
+       to the first ``max_degree`` selections in position order (while the
+       count gate is open the two process identically, and acceptance only
+       depends on *earlier selected* candidates, which lie in the kept
+       prefix).
+    2. **LFMIS fixpoint**: uncapped greedy status is the unique fixpoint of
+       "i is IN iff every dominator j<i is OUT; i is OUT iff some dominator
+       j<i is IN (or a previous-pass selection dominates i)" — resolved by
+       monotone rounds that each determine every candidate whose dominators
+       are all determined.  Rounds needed = longest dominance chain
+       (typically < 10), each round two batched [B, C] @ [B, C, C]
+       contractions on the MXU instead of a sequential step per position.
+
+    The alpha ramp runs pass-by-pass exactly like the reference: pass p's
+    seed is the union of earlier passes' selections (which dominate from
+    ANY position), and the final truncation orders by (pass, position).
+    """
+    B, C = cand_ids.shape
+    cand_scores, simmat = jax.lax.optimization_barrier((cand_scores, simmat))
+    valid = (cand_ids >= 0) & (cand_scores > NEG_INF)
+    pos = jnp.arange(C, dtype=jnp.int32)
+    earlier = pos[:, None] < pos[None, :]  # [C(j), C(i)] j strictly before i
+
+    prev = jnp.zeros((B, C), bool)  # selected in earlier alpha passes
+    prev_rank = jnp.zeros((B, C), jnp.int32)  # (pass, pos) order rank
+    total = jnp.zeros((B,), jnp.int32)
+    for p_i, alpha in enumerate(alphas):
+        thresh = cand_scores[:, None, :] * jnp.float32(alpha)  # [B, 1(j), C(i)]
+        dom_any = simmat > thresh  # [B, j, i] j's sim to i beats i's bar
+        # OUT immediately: dominated by a previous-pass selection (any j)
+        prev_blocked = jnp.any(dom_any & prev[:, :, None], axis=1)
+        # bf16 halves the [B, C, C] HBM traffic each round; counts <= C
+        # stay exactly representable (integers < 256 in 8 mantissa bits)
+        dom = (
+            dom_any
+            & earlier[None]
+            & valid[:, :, None]
+            & valid[:, None, :]
+            & ~prev[:, :, None]
+        ).astype(jnp.bfloat16)
+        und0 = valid & ~prev & ~prev_blocked
+        inn0 = jnp.zeros((B, C), bool)
+
+        def round_(state):
+            und, inn, _ = state
+            live = jnp.einsum(
+                "bj,bji->bi",
+                (und | inn).astype(jnp.bfloat16),
+                dom,
+                preferred_element_type=jnp.float32,
+            )
+            blocked = jnp.einsum(
+                "bj,bji->bi",
+                inn.astype(jnp.bfloat16),
+                dom,
+                preferred_element_type=jnp.float32,
+            )
+            newly_in = und & (live == 0)
+            newly_out = und & (blocked > 0)
+            und2 = und & ~newly_in & ~newly_out
+            return und2, inn | newly_in, jnp.any(newly_in | newly_out)
+
+        def cond(state):
+            und, _, progressed = state
+            return jnp.any(und) & progressed
+
+        _, inn, _ = jax.lax.while_loop(
+            cond, round_, (und0, inn0, jnp.bool_(True))
+        )
+        # fold this pass into the running selection with (pass, pos) rank
+        rank_in_pass = jnp.cumsum(inn.astype(jnp.int32), axis=1) - 1
+        prev_rank = jnp.where(inn, total[:, None] + rank_in_pass, prev_rank)
+        total = total + jnp.sum(inn, axis=1).astype(jnp.int32)
+        prev = prev | inn
+
+    keep = prev & (prev_rank < max_degree)
+    count = jnp.minimum(total, max_degree)
+    # extract in score order (rows are score-sorted, so position order)
+    order_key = jnp.where(keep, 0, 1)
+    pos_b = jnp.broadcast_to(pos[None, :], (B, C))
+    _, idx = jax.lax.sort(
+        (order_key.astype(jnp.int32), pos_b), dimension=1, num_keys=2
+    )
+    take = idx[:, :max_degree]
+    out_ids = jnp.take_along_axis(cand_ids, take, axis=1)
+    out_scores = jnp.take_along_axis(cand_scores, take, axis=1)
+    in_range = jnp.arange(max_degree)[None, :] < count[:, None]
+    out_ids = jnp.where(in_range, out_ids, -1)
+    out_scores = jnp.where(in_range, out_scores, jnp.float32(NEG_INF))
+    return out_ids, out_scores, count
+
+
+@partial(jax.jit, static_argnames=("max_degree", "alphas", "algo"))
+def robust_prune(
+    cand_ids: jax.Array,  # int32 [B, C], -1 padded, unique per row
+    cand_scores: jax.Array,  # float32 [B, C] similarity to the owning node
+    simmat: jax.Array,  # float32 [B, C, C] candidate-pair similarities
+    max_degree: int,
+    alphas: tuple[float, ...] = (1.0, 1.2),
+    algo: str = "greedy",
+):
+    """Batched robust prune (``algo="fixpoint"`` dispatches to the
+    greedy-equivalent parallel formulation, see
+    :func:`robust_prune_fixpoint`).
 
     Inputs must be score-sorted descending per row (use
     :func:`dedup_sorted_desc` first if merging lists).  Returns
     ``(ids [B, max_degree], scores [B, max_degree], counts [B])`` with
     selected neighbors in score order, -1/-inf padded.
     """
+    if algo == "fixpoint":
+        return robust_prune_fixpoint(
+            cand_ids, cand_scores, simmat, max_degree, alphas
+        )
     B, C = cand_ids.shape
     # Force the candidate-pair matrix to MATERIALIZE before the greedy
     # loop: at large N, XLA's rematerialization heuristic otherwise fuses

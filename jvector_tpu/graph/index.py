@@ -69,6 +69,11 @@ class GraphConfig:
     # (quantized prunes tie-break near-duplicate clusters apart — see
     # _insert_wave's docstring).
     build_compression: str | None = "sq4"
+    # Diversity-prune algorithm: "fixpoint" resolves the greedy scan as a
+    # parallel dominance fixpoint (greedy-EQUIVALENT output, O(chain-depth)
+    # MXU rounds instead of C*len(alphas) sequential steps — see
+    # diversity.robust_prune_fixpoint); "greedy" is the sequential scan.
+    prune_algo: str = "fixpoint"
 
     @property
     def overflow_degree(self) -> int:

@@ -224,3 +224,68 @@ def test_search_empty_and_tiny_graphs():
     res1 = search(one, prov1, jnp.ones((2, 8)), top_k=3)
     ids = np.asarray(res1.ids)
     assert (ids[:, 0] == 0).all() and (ids[:, 1:] == -1).all()
+
+
+def test_fixpoint_prune_equals_greedy():
+    """robust_prune_fixpoint must return EXACTLY the greedy scan's output
+    (ids, scores, counts) across random, tied, and adversarial inputs —
+    it is a reformulation, not an approximation."""
+    from jvector_tpu.graph.diversity import robust_prune, robust_prune_fixpoint
+    from jvector_tpu.graph.index import NEG_INF
+
+    rng = np.random.default_rng(17)
+    for trial, (b, c, m, mode) in enumerate(
+        [
+            (16, 40, 8, "random"),
+            (8, 64, 16, "negative"),  # euclidean-style negative similarities
+            (8, 32, 8, "ties"),
+            (4, 40, 32, "fewer-than-degree"),
+            (6, 48, 12, "dense-dominance"),
+        ]
+    ):
+        if mode == "ties":
+            scores = np.round(rng.normal(size=(b, c)) * 2) / 2.0
+            sims = np.round(rng.normal(size=(b, c, c)) * 2) / 2.0
+        elif mode == "negative":
+            scores = -np.abs(rng.normal(size=(b, c))) * 3
+            sims = -np.abs(rng.normal(size=(b, c, c))) * 3
+        elif mode == "dense-dominance":
+            scores = rng.normal(size=(b, c)) * 0.1
+            sims = np.abs(rng.normal(size=(b, c, c))) * 3  # most pairs dominate
+        else:
+            scores = rng.normal(size=(b, c))
+            sims = rng.normal(size=(b, c, c))
+        sims = (sims + sims.transpose(0, 2, 1)) / 2
+        ids = np.broadcast_to(np.arange(c, dtype=np.int32), (b, c)).copy()
+        # invalid tail + scattered invalids
+        n_inv = rng.integers(0, c // 3, size=b)
+        for i in range(b):
+            drop = rng.choice(c, n_inv[i], replace=False)
+            ids[i, drop] = -1
+            scores[i, drop] = NEG_INF
+        # score-sort rows desc (the prune's input contract)
+        order = np.argsort(-scores, axis=1)
+        ids = np.take_along_axis(ids, order, axis=1)
+        scores = np.take_along_axis(scores, order, axis=1)
+        sims = np.take_along_axis(
+            np.take_along_axis(sims, order[:, :, None], axis=1),
+            order[:, None, :],
+            axis=2,
+        )
+        args = (
+            jnp.asarray(ids),
+            jnp.asarray(scores.astype(np.float32)),
+            jnp.asarray(sims.astype(np.float32)),
+        )
+        for alphas in [(1.0,), (1.0, 1.2), (1.0, 1.2, 1.4)]:
+            gi, gs, gc = robust_prune(*args, m, alphas)
+            fi, fs, fc = robust_prune_fixpoint(*args, m, alphas)
+            np.testing.assert_array_equal(
+                np.asarray(gc), np.asarray(fc), err_msg=f"{mode} {alphas} count"
+            )
+            np.testing.assert_array_equal(
+                np.asarray(gi), np.asarray(fi), err_msg=f"{mode} {alphas} ids"
+            )
+            np.testing.assert_array_equal(
+                np.asarray(gs), np.asarray(fs), err_msg=f"{mode} {alphas} scores"
+            )
