@@ -16,6 +16,7 @@ full-res vectors act as queries, exactly like the reference's
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Callable, Iterator
 
 import jax
@@ -203,10 +204,23 @@ def _build_on_disk_ltm_sq4(path, load, n, dim, config, sim, training_sample, see
             chunks.append(np.asarray(blk)[in_chunk - a])
     sq = ScalarQuantization4.compute(np.concatenate(chunks, axis=0))
 
+    from jvector_tpu.graph.builder import _fused_aligned_config
     from jvector_tpu.graph.index import bucket_capacity
 
     n_cap = bucket_capacity(n)
     mp = sq.compressed_size
+    # Fused-accelerated LTM construction: when the incremental fused code
+    # table fits device memory, build with the same fused wave programs as
+    # the in-memory path (one 4 KB row gather per expansion instead of R
+    # code rows).  Past the budget, fall back to plain augmented-row
+    # searches (gather-bound but O(codes) HBM) — the 100M regime.
+    config = _fused_aligned_config(config, mp)
+    fused_bytes = n_cap * config.row_cap * (mp + 4)
+    fused_build = (
+        (config.row_cap * mp) % 1024 == 0
+        and (mp % 128 == 0 or 128 % mp == 0)
+        and fused_bytes < (6 << 30)
+    )
     codes = jnp.zeros((n_cap, mp), jnp.uint8)
     node_w2 = jnp.zeros((n_cap,), jnp.float32)
     node_norm2 = jnp.zeros((n_cap,), jnp.float32)
@@ -238,6 +252,13 @@ def _build_on_disk_ltm_sq4(path, load, n, dim, config, sim, training_sample, see
     import time as _time
 
     log = logging.getLogger(__name__)
+    if fused_build:
+        from jvector_tpu.graph.builder import _wave_search, _wave_update_fused
+
+        k_row = config.row_cap * mp
+        fused_packed = jnp.zeros((n_cap, k_row // 128, 128), jnp.uint8)
+        fused_w2 = jnp.zeros((n_cap, config.row_cap), jnp.float32)
+
     t_wave = _time.time()
     w = config.wave_size
     for wi, start in enumerate(_shuffled_wave_starts(n, w)):
@@ -274,10 +295,36 @@ def _build_on_disk_ltm_sq4(path, load, n, dim, config, sim, training_sample, see
             wave = jnp.concatenate(
                 [wave, jnp.zeros((w - (stop - start), dim), jnp.float32)], axis=0
             )
-        graph = _insert_wave(graph, provider, jnp.asarray(ids), wave, config)
+        if fused_build:
+            # fused wave search + slot-exact table maintenance; the rescore
+            # and prune run on the SAME SQ4 provider (full-res rows of
+            # arbitrary existing nodes are not device-resident in LTM — the
+            # tie-break jitter covers quantized prune ties, and the
+            # adversarial fan-in test runs against this path)
+            bp = dataclasses.replace(
+                provider, fused_packed=fused_packed, fused_w2=fused_w2
+            )
+            ids_dev = jnp.asarray(ids)
+            beam_ids, beam_scores = _wave_search(
+                graph.base.neighbors, bp, graph.entry_node, ids_dev, wave,
+                config,
+            )
+            node_const = (
+                node_norm2 if sim == SimilarityFunction.COSINE else node_w2
+            )
+            graph, fused_packed, fused_w2 = _wave_update_fused(
+                graph, fused_packed, fused_w2, provider, codes, node_const,
+                ids_dev, wave, beam_ids, beam_scores, config,
+            )
+        else:
+            graph = _insert_wave(graph, provider, jnp.asarray(ids), wave, config)
 
     provider = make_provider(codes, node_w2, node_norm2, aug)
     jax.block_until_ready(graph.base.neighbors)
+    if fused_build:
+        # cleanup rewrites rows wholesale; the save phase rebuilds the
+        # fused layout from the FINAL adjacency, so free the working tables
+        del fused_packed, fused_w2, bp
     log.info("ltm build waves done (%.1fs); cleanup", _time.time() - t_wave)
     builder = GraphIndexBuilder(config)
     graph = builder.cleanup(graph, provider, vectors=None)
