@@ -22,6 +22,7 @@ def main() -> None:
     p.add_argument("--ef", type=int, default=100)
     p.add_argument("--queries", type=int, default=1024)
     p.add_argument("--mode", default="sq4", choices=["sq4", "exact"])
+    p.add_argument("--seeds", type=int, default=4)
     p.add_argument("--prune-algo", default="fixpoint", choices=["fixpoint", "greedy"])
     p.add_argument("--no-cleanup", action="store_true")
     args = p.parse_args()
@@ -55,6 +56,7 @@ def main() -> None:
         build_expand=args.expand,
         build_compression=None if args.mode == "exact" else "sq4",
         prune_algo=args.prune_algo,
+        build_entry_seeds=args.seeds,
     )
     builder = GraphIndexBuilder(cfg)
     t0 = time.time()

@@ -167,6 +167,7 @@ class HostGraphIndex:
     entry_node: int
     sim: SimilarityFunction = SimilarityFunction.EUCLIDEAN
     deleted: np.ndarray | None = None  # [N] bool
+    rerank_store: "object | None" = None  # HostVectorStore from inline vectors
 
     @staticmethod
     def load(path) -> "HostGraphIndex":
@@ -182,6 +183,18 @@ class HostGraphIndex:
             if r.has_array("graph/deleted")
             else None
         )
+        # inline full-res vectors present -> default two-pass serving (the
+        # reference's on-disk contract: beam on codes, topK reranked exact,
+        # OnDiskGraphIndex.View.getVectorInto); stays a host memmap, only
+        # [Q, rerank_k] rows ever reach the device
+        inline = f"feature/{FeatureId.INLINE_VECTORS}/vectors"
+        store = None
+        if r.has_array(inline):
+            from jvector_tpu.disk.host_tier import HostVectorStore
+
+            store = HostVectorStore.from_index_file(
+                r, inline, idx.meta.get("similarity", "euclidean")
+            )
         return HostGraphIndex(
             neighbors=r.read("graph/L0/neighbors", mmap=True),
             fused_packed=r.read(f"{f}/fused_packed", mmap=True),
@@ -193,6 +206,7 @@ class HostGraphIndex:
             entry_node=int(idx.meta["entry_node"]),
             sim=sim,
             deleted=deleted,
+            rerank_store=store,
         )
 
     def hbm_bytes(self, n_queries: int, beam_width: int, expand: int) -> int:
@@ -212,7 +226,8 @@ class HostGraphIndex:
         beam_width: int = 64,
         expand: int = 4,
         max_iters: int = 200,
-        rerank=None,  # HostVectorStore or None
+        rerank=None,  # HostVectorStore | None (default: the index's inline
+        #   vectors when present) | False to force single-pass
         pipeline: int = 2,
     ) -> SearchResult:
         """Wave beam search streaming graph rows from host per iteration.
@@ -227,6 +242,10 @@ class HostGraphIndex:
         """
         from jvector_tpu.util.native import gather_rows
 
+        if rerank is None:
+            rerank = self.rerank_store  # two-pass by default when available
+        elif rerank is False:
+            rerank = None
         scorer = SQ4StreamScorer(
             scale=jnp.asarray(self.scale),
             offset=jnp.asarray(self.offset),

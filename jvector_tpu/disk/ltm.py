@@ -27,6 +27,7 @@ from jvector_tpu.disk.format import FeatureId, IndexFileWriter
 from jvector_tpu.graph.builder import (
     GraphIndexBuilder,
     _insert_wave,
+    _sample_entry_seeds,
     _shuffled_wave_starts,
 )
 from jvector_tpu.graph.index import GraphConfig, GraphIndex, empty_graph
@@ -54,6 +55,26 @@ def _add_array_chunked(
     chunk = max(1, max_bytes // row_bytes)
     for a in range(0, shape[0], chunk):
         writer.write_rows(name, a, np.asarray(arr[a : a + chunk], dt))
+
+
+def _entry_by_centroid(provider, centroid, n: int, chunk: int = 1 << 20) -> int:
+    """Node nearest the (decoded) centroid, scored in bounded chunks.
+
+    One full-table ``provider.score`` call materializes an unpacked
+    ``[1, n_cap, D]`` float32 intermediate — ~5.4 GB at 10M x 128d, an HBM
+    OOM on top of the resident working set.  Chunked scoring keeps the
+    peak at ``[1, chunk, D]`` (~0.5 GB) for a handful of host syncs.
+    """
+    qstate = provider.prepare(centroid)
+    best_score, best_id = -np.inf, 0
+    for a in range(0, n, chunk):
+        ids = jnp.arange(a, min(a + chunk, n), dtype=jnp.int32)
+        sc = provider.score(qstate, ids[None, :])[0]
+        i = int(jnp.argmax(sc))
+        s = float(sc[i])
+        if s > best_score:
+            best_score, best_id = s, a + i
+    return best_id
 
 
 def build_on_disk_ltm(
@@ -123,6 +144,10 @@ def build_on_disk_ltm(
     # graph.builder._shuffled_wave_starts — the loader only ever sees
     # contiguous chunk reads, and the inline vector writes are positional)
     w = config.wave_size
+    n_seeds = max(1, config.build_entry_seeds)
+    seed_rng = np.random.default_rng(0xBEE5)
+    inserted = np.empty(n, np.int32)
+    n_ins = 0
     for start in _shuffled_wave_starts(n, w):
         stop = min(start + w, n)
         wave_np = np.asarray(load(start, stop), np.float32)
@@ -143,7 +168,13 @@ def build_on_disk_ltm(
             wave = jnp.concatenate(
                 [wave, jnp.zeros((w - (stop - start), dim), jnp.float32)], axis=0
             )
-        graph = _insert_wave(graph, provider, jnp.asarray(ids), wave, config)
+        graph = _insert_wave(
+            graph, provider, jnp.asarray(ids), wave, config,
+            seed_ids=_sample_entry_seeds(seed_rng, inserted, n_ins, w, n_seeds),
+        )
+        valid_ids = ids[ids >= 0]
+        inserted[n_ins : n_ins + valid_ids.size] = valid_ids
+        n_ins += valid_ids.size
 
     # ---- phase C: cleanup + persist graph ---------------------------------
     provider = ADCScoreProvider(
@@ -153,12 +184,9 @@ def build_on_disk_ltm(
     graph = builder.cleanup(graph, provider, vectors=None)
     # entry point: PQ-decoded centroid proxy — nearest to mean of decoded set
     centroid = jnp.mean(pq.decode(codes[: min(n, 65_536)]), axis=0, keepdims=True)
-    qstate = provider.prepare(centroid)
-    entry_scores = provider.score(
-        qstate, jnp.arange(n_cap, dtype=jnp.int32)[None, :]
-    )[0]
-    entry_scores = jnp.where(jnp.arange(n_cap) < n, entry_scores, -jnp.inf)
-    graph = graph._replace(entry_node=jnp.argmax(entry_scores).astype(jnp.int32))
+    graph = graph._replace(
+        entry_node=jnp.int32(_entry_by_centroid(provider, centroid, n))
+    )
 
     for l, layer in enumerate(graph.layers):
         writer.add_array(f"graph/L{l}/neighbors", np.asarray(layer.neighbors))
@@ -261,6 +289,10 @@ def _build_on_disk_ltm_sq4(path, load, n, dim, config, sim, training_sample, see
 
     t_wave = _time.time()
     w = config.wave_size
+    n_seeds = max(1, config.build_entry_seeds)
+    seed_rng = np.random.default_rng(0xBEE5)
+    inserted = np.empty(n, np.int32)
+    n_ins = 0
     for wi, start in enumerate(_shuffled_wave_starts(n, w)):
         if wi and wi % 256 == 0:
             # bounded sync: surfaces async device faults at an attributable
@@ -295,6 +327,7 @@ def _build_on_disk_ltm_sq4(path, load, n, dim, config, sim, training_sample, see
             wave = jnp.concatenate(
                 [wave, jnp.zeros((w - (stop - start), dim), jnp.float32)], axis=0
             )
+        seed_dev = _sample_entry_seeds(seed_rng, inserted, n_ins, w, n_seeds)
         if fused_build:
             # fused wave search + slot-exact table maintenance; the rescore
             # and prune run on the SAME SQ4 provider (full-res rows of
@@ -307,7 +340,7 @@ def _build_on_disk_ltm_sq4(path, load, n, dim, config, sim, training_sample, see
             ids_dev = jnp.asarray(ids)
             beam_ids, beam_scores = _wave_search(
                 graph.base.neighbors, bp, graph.entry_node, ids_dev, wave,
-                config,
+                config, seed_dev,
             )
             node_const = (
                 node_norm2 if sim == SimilarityFunction.COSINE else node_w2
@@ -317,7 +350,13 @@ def _build_on_disk_ltm_sq4(path, load, n, dim, config, sim, training_sample, see
                 ids_dev, wave, beam_ids, beam_scores, config,
             )
         else:
-            graph = _insert_wave(graph, provider, jnp.asarray(ids), wave, config)
+            graph = _insert_wave(
+                graph, provider, jnp.asarray(ids), wave, config,
+                seed_ids=seed_dev,
+            )
+        valid_ids = ids[ids >= 0]
+        inserted[n_ins : n_ins + valid_ids.size] = valid_ids
+        n_ins += valid_ids.size
 
     provider = make_provider(codes, node_w2, node_norm2, aug)
     jax.block_until_ready(graph.base.neighbors)
@@ -331,12 +370,9 @@ def _build_on_disk_ltm_sq4(path, load, n, dim, config, sim, training_sample, see
     jax.block_until_ready(graph.base.neighbors)
     log.info("ltm cleanup done (%.1fs); save", _time.time() - t_wave)
     centroid = jnp.mean(provider.decode(jnp.arange(min(n, 65_536))), axis=0)[None]
-    qstate = provider.prepare(centroid)
-    entry_scores = provider.score(
-        qstate, jnp.arange(n_cap, dtype=jnp.int32)[None, :]
-    )[0]
-    entry_scores = jnp.where(jnp.arange(n_cap) < n, entry_scores, -jnp.inf)
-    graph = graph._replace(entry_node=jnp.argmax(entry_scores).astype(jnp.int32))
+    graph = graph._replace(
+        entry_node=jnp.int32(_entry_by_centroid(provider, centroid, n))
+    )
 
     # final fused layout against the cleaned adjacency -> host-servable.
     # Small indexes keep the fused tables on device (fast in-HBM serving);

@@ -67,6 +67,7 @@ def _insert_wave(
     wave_vectors: jax.Array,  # float32 [W, D] full-res vectors being inserted
     config: GraphConfig,
     prune_provider=None,
+    seed_ids: jax.Array | None = None,  # int32 [W, S-1] extra entry seeds
 ) -> GraphIndex:
     """One wave insert.  The graph argument is DONATED — callers that keep
     their input graph must pass copies (see ``add_nodes``).
@@ -94,6 +95,10 @@ def _insert_wave(
     entries = jnp.where(
         wave_valid & (graph.entry_node >= 0), graph.entry_node, -1
     ).astype(jnp.int32)
+    if seed_ids is not None and seed_ids.shape[1] > 0:
+        # multi-seed entries (see _wave_search): shorter graph-diameter walks
+        extra = jnp.where(wave_valid[:, None], seed_ids, -1).astype(jnp.int32)
+        entries = jnp.concatenate([entries[:, None], extra], axis=1)
     beam = search_layer(
         layer.neighbors,
         provider,
@@ -255,6 +260,28 @@ def _insert_wave(
     )
 
 
+def _sample_entry_seeds(
+    rng: np.random.Generator,
+    inserted: np.ndarray,  # int32 [n] prefix-filled with inserted node ids
+    n_ins: int,
+    w: int,
+    n_seeds: int,
+) -> jax.Array | None:
+    """Host-sample extra beam-entry seeds from the already-inserted nodes.
+
+    Returns ``None`` when the knob is off (single-entry searches compile to
+    a distinct program, so the OFF case must not pass a [W, 0] array).
+    The first wave gets an all ``-1`` array — same shape, so one compile.
+    """
+    if n_seeds <= 1:
+        return None
+    if n_ins > 0:
+        sd = inserted[rng.integers(0, n_ins, (w, n_seeds - 1))]
+    else:
+        sd = np.full((w, n_seeds - 1), -1, np.int32)
+    return jnp.asarray(sd)
+
+
 @partial(jax.jit, static_argnames=("config",))
 def _wave_search(
     graph_neighbors: jax.Array,
@@ -263,6 +290,7 @@ def _wave_search(
     wave_ids: jax.Array,  # int32 [W]
     wave_vectors: jax.Array,  # float32 [W, D]
     config: GraphConfig,
+    seed_ids: jax.Array | None = None,  # int32 [W, S-1] extra entry seeds
 ) -> tuple[jax.Array, jax.Array]:
     """Beam-search a wave against the current graph (read-only program).
 
@@ -271,6 +299,11 @@ def _wave_search(
     buffer that is both captured by a ``while_loop`` and scattered in the
     same program, so the search (while_loop, read-only) and the update
     (scatters, no loop over the tables) must be separate programs.
+
+    ``seed_ids`` (host-sampled already-inserted nodes, -1 padded) seed the
+    beam alongside the global entry — multiple start points shorten the
+    graph-diameter walk that dominates sequential beam iterations.  The
+    entry node stays a device scalar so no host sync is needed per wave.
     """
     ef = config.ef_construction
     wave_valid = wave_ids >= 0
@@ -278,6 +311,9 @@ def _wave_search(
     entries = jnp.where(wave_valid & (entry_node >= 0), entry_node, -1).astype(
         jnp.int32
     )
+    if seed_ids is not None and seed_ids.shape[1] > 0:
+        extra = jnp.where(wave_valid[:, None], seed_ids, -1).astype(jnp.int32)
+        entries = jnp.concatenate([entries[:, None], extra], axis=1)
     beam = search_layer(
         graph_neighbors,
         provider,
@@ -718,6 +754,13 @@ class GraphIndexBuilder:
                 else build_provider.node_w2
             )
             codes_packed = build_provider.codes_packed
+            # multi-seed wave searches: sample extra entry points from the
+            # already-inserted prefix HOST-side (the wave schedule is host-
+            # known, so no device sync) — see GraphConfig.build_entry_seeds
+            n_seeds = max(1, cfg.build_entry_seeds)
+            seed_rng = np.random.default_rng(0xBEE5)
+            inserted = np.empty(n, np.int32)
+            n_ins = 0
             for start in _shuffled_wave_starts(n, w):
                 ids = np.arange(start, start + w, dtype=np.int32)
                 ids = np.where(ids < n, ids, -1)
@@ -726,9 +769,21 @@ class GraphIndexBuilder:
                 bp = dataclasses.replace(
                     build_provider, fused_packed=fused_packed, fused_w2=fused_w2
                 )
-                beam_ids, beam_scores = _wave_search(
-                    graph.base.neighbors, bp, graph.entry_node, ids_dev, wv, cfg
+                seed_dev = _sample_entry_seeds(
+                    seed_rng, inserted, n_ins, w, n_seeds
                 )
+                beam_ids, beam_scores = _wave_search(
+                    graph.base.neighbors,
+                    bp,
+                    graph.entry_node,
+                    ids_dev,
+                    wv,
+                    cfg,
+                    seed_dev,
+                )
+                valid_ids = ids[ids >= 0]
+                inserted[n_ins : n_ins + valid_ids.size] = valid_ids
+                n_ins += valid_ids.size
                 graph, fused_packed, fused_w2 = _wave_update_fused(
                     graph,
                     fused_packed,
@@ -743,13 +798,24 @@ class GraphIndexBuilder:
                     cfg,
                 )
         else:
+            n_seeds = max(1, cfg.build_entry_seeds)
+            seed_rng = np.random.default_rng(0xBEE5)
+            inserted = np.empty(n, np.int32)
+            n_ins = 0
             for start in _shuffled_wave_starts(n, w):
                 ids = np.arange(start, start + w, dtype=np.int32)
                 ids = np.where(ids < n, ids, -1)
                 wv = vectors[jnp.minimum(jnp.asarray(ids), n - 1)]
-                graph = _insert_wave(
-                    graph, build_provider, jnp.asarray(ids), wv, cfg
+                seed_dev = _sample_entry_seeds(
+                    seed_rng, inserted, n_ins, w, n_seeds
                 )
+                graph = _insert_wave(
+                    graph, build_provider, jnp.asarray(ids), wv, cfg,
+                    seed_ids=seed_dev,
+                )
+                valid_ids = ids[ids >= 0]
+                inserted[n_ins : n_ins + valid_ids.size] = valid_ids
+                n_ins += valid_ids.size
 
         if cleanup:
             graph = self.cleanup(graph, provider, vectors)

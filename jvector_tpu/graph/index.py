@@ -74,6 +74,10 @@ class GraphConfig:
     # MXU rounds instead of C*len(alphas) sequential steps — see
     # diversity.robust_prune_fixpoint); "greedy" is the sequential scan.
     prune_algo: str = "fixpoint"
+    # Entry seeds per build-wave search: 1 = the global entry node only;
+    # k > 1 adds k-1 random already-inserted nodes, shortening the
+    # graph-diameter walk that dominates sequential beam iterations.
+    build_entry_seeds: int = 4
 
     @property
     def overflow_degree(self) -> int:

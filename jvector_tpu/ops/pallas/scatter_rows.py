@@ -243,9 +243,14 @@ def scatter_slots_auto(table, idx, off, payload):
 def _patch_chunk(p: int, t: int, hint: int = 512) -> int:
     """RMW chunk size for the fused-update patch phase — the ONE place this
     is computed: :func:`fused_update_patch_meta`'s chunk-local last indices
-    must agree with the kernel's chunking or cross-chunk runs corrupt."""
+    must agree with the kernel's chunking or cross-chunk runs corrupt.
+
+    Always a multiple of 32 so the per-chunk payload DMA ([chunk*R128, 128]
+    u8) is whole (32, 128) tiles; small ``p`` pads up to one full chunk
+    rather than shrinking below a tile."""
+    del p
     chunk = min(hint, max(64, (4 << 20) // (t * 128)))
-    return min(chunk, max(p, 1))
+    return max(32, chunk - chunk % 32)
 
 
 def _fused_update_kernel(n_rows: int, chunk: int, n_chunks: int):
@@ -262,19 +267,24 @@ def _fused_update_kernel(n_rows: int, chunk: int, n_chunks: int):
         patch_last_ref,  # [P] i32 chunk-local index of the run's last item
         er_rows_ref,  # [E] i32
         wave_img_ref,  # [W, T, 128] u8 (HBM)
-        patch_img_ref,  # [P, R128, 128] u8 (HBM) positioned slot payload
+        patch_img_ref,  # [n_chunks, chunk*R128, 128] u8 slot payloads —
+        #   chunked on the UNTILED leading dim: a rank-3 [P, R128, 128]
+        #   layout has a sub-tile sublane dim when R128 < the u8 tile (32),
+        #   and Mosaic rejects DMA slices of it ("slice shape along
+        #   dimension 1 must be aligned to tiling"); one whole chunk per
+        #   leading index is always whole (32, 128) tiles
         er_img_ref,  # [E, T, 128] u8 (HBM)
         table_ref,  # [N, T, 128] u8 (HBM, aliased) — unused; rows read
         out_ref,  # [N, T, 128] u8 == table buffer      via out_ref
         buf,  # VMEM [chunk, T, 128] u8
-        pbuf,  # VMEM [chunk, R128, 128] u8
+        pbuf,  # VMEM [chunk*R128, 128] u8
         sem_row,
         sem_r,
         sem_w,
         sem_p,
     ):
         T = out_ref.shape[1]
-        r128 = patch_img_ref.shape[1]
+        r128 = patch_img_ref.shape[1] // chunk
         P = patch_rows_ref.shape[0]
 
         def row_phase(rows_ref, img_ref, count):
@@ -311,9 +321,7 @@ def _fused_update_kernel(n_rows: int, chunk: int, n_chunks: int):
 
         def chunk_body(c, _):
             base = c * chunk
-            pltpu.make_async_copy(
-                patch_img_ref.at[pl.ds(base, chunk)], pbuf, sem_p
-            ).start()
+            pltpu.make_async_copy(patch_img_ref.at[c], pbuf, sem_p).start()
 
             def issue_read(i, started):
                 gi = base + i
@@ -329,9 +337,7 @@ def _fused_update_kernel(n_rows: int, chunk: int, n_chunks: int):
                 return jax.lax.cond(ok, do, lambda: started)
 
             nreads = jax.lax.fori_loop(0, chunk, issue_read, jnp.int32(0))
-            pltpu.make_async_copy(
-                patch_img_ref.at[pl.ds(base, chunk)], pbuf, sem_p
-            ).wait()
+            pltpu.make_async_copy(patch_img_ref.at[c], pbuf, sem_p).wait()
 
             def drain_r(i, _):
                 pltpu.make_async_copy(
@@ -353,9 +359,23 @@ def _fused_update_kernel(n_rows: int, chunk: int, n_chunks: int):
                     hi = patch_hi_ref[gi]
                     cur = buf[b]  # [T, 128]
                     in_slot = (byte_iota >= lo) & (byte_iota < hi)
+                    iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
                     for k in range(r128):
                         mask = in_slot & (sub_iota == q0 + k)
-                        cur = jnp.where(mask, pbuf[i, k][None, :], cur)
+                        # Mosaic only vector-loads VMEM at sublane offsets
+                        # provably % 8 == 0: load the aligned 8-row block
+                        # holding payload row i*r128+k, mask-select it
+                        idx = i * r128 + k
+                        base8 = (idx // 8) * 8
+                        blk = pbuf[pl.ds(base8, 8), :].astype(jnp.int32)
+                        row = jnp.max(
+                            jnp.where(iota8 == idx - base8, blk, 0),
+                            axis=0,
+                            keepdims=True,
+                        ).astype(
+                            jnp.uint8
+                        )  # [1, 128] — max-select works because u8 >= 0
+                        cur = jnp.where(mask, row, cur)
                     buf[b] = cur
                     return 0
 
@@ -446,6 +466,11 @@ def fused_update_inplace(
             [patch_img, jnp.zeros((pad,) + patch_img.shape[1:], patch_img.dtype)]
         )
     r128 = patch_img.shape[1]
+    # chunk payloads on an untiled leading dim (see kernel docstring): the
+    # per-patch [R128, 128] images have a sub-tile sublane dim for small
+    # R128, which Mosaic cannot slice — [n_chunks, chunk*R128, 128] makes
+    # every chunk whole (32, 128) u8 tiles (chunk >= 64 from _patch_chunk)
+    patch_img = patch_img.reshape(n_chunks, chunk * r128, 128)
     return pl.pallas_call(
         _fused_update_kernel(n, chunk, n_chunks),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -460,7 +485,7 @@ def fused_update_inplace(
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=[
                 pltpu.VMEM((chunk, t, 128), table.dtype),
-                pltpu.VMEM((chunk, r128, 128), patch_img.dtype),
+                pltpu.VMEM((chunk * r128, 128), patch_img.dtype),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
