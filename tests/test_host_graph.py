@@ -85,3 +85,23 @@ def test_host_graph_approx_only_and_counters(saved):
     for row in np.asarray(res.ids):
         live = [x for x in row.tolist() if x >= 0]
         assert len(live) == len(set(live))
+
+
+def test_host_graph_default_two_pass_rerank(saved):
+    """Inline vectors in the file wire a default HostVectorStore: serving is
+    two-pass unless rerank=False (regression: single-pass SQ4 serving was
+    silently recall-capped ~0.79 at 100k where two-pass hits 0.986)."""
+    path, base, queries, gt, graph, prov, exact = saved
+    hg = HostGraphIndex.load(path)
+    assert hg.rerank_store is not None
+
+    res = hg.search(jnp.asarray(queries), top_k=10, beam_width=40, expand=4)
+    r_two = recall_at_k(np.asarray(res.ids), gt, 10)
+    res1 = hg.search(
+        jnp.asarray(queries), top_k=10, beam_width=40, expand=4, rerank=False
+    )
+    r_one = recall_at_k(np.asarray(res1.ids), gt, 10)
+    assert r_two >= 0.93
+    assert r_two >= r_one - 1e-9  # rerank never loses recall
+    assert int(jnp.max(res.reranked_count)) > 0
+    assert int(jnp.max(res1.reranked_count)) == 0
