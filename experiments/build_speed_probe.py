@@ -8,9 +8,12 @@ trade away graph quality.
 from __future__ import annotations
 
 import argparse
+import logging
 import time
 
 import numpy as np
+
+logging.basicConfig(level=logging.INFO)  # per-phase build timings
 
 
 def main() -> None:

@@ -707,6 +707,12 @@ class GraphIndexBuilder:
         vectors = jnp.asarray(vectors, jnp.float32)
         n, d = vectors.shape
         cfg = self.config
+        import logging
+        import time as _time
+
+        log = logging.getLogger(__name__)
+        timed = log.isEnabledFor(logging.INFO)  # opt-in phase timing
+        t_phase = _time.time()
         if provider is None and cfg.build_compression == "sq4":
             # whole-tile fused rows -> in-place Pallas table updates
             cfg = _fused_aligned_config(cfg, (d + 1) // 2)
@@ -731,6 +737,10 @@ class GraphIndexBuilder:
             )
         else:
             build_provider = provider  # explicit providers are used as-is
+        if timed:
+            jax.block_until_ready(getattr(build_provider, "codes_packed", vectors))
+            log.info("build phase: provider prep %.1fs", _time.time() - t_phase)
+            t_phase = _time.time()
         graph = empty_graph(n_cap, cfg)
 
         if build_provider is not provider:
@@ -817,8 +827,16 @@ class GraphIndexBuilder:
                 inserted[n_ins : n_ins + valid_ids.size] = valid_ids
                 n_ins += valid_ids.size
 
+        if timed:
+            jax.block_until_ready(graph.base.neighbors)
+            log.info("build phase: wave loop %.1fs", _time.time() - t_phase)
+            t_phase = _time.time()
         if cleanup:
             graph = self.cleanup(graph, provider, vectors)
+            if timed:
+                jax.block_until_ready(graph.base.neighbors)
+                log.info("build phase: cleanup %.1fs", _time.time() - t_phase)
+                t_phase = _time.time()
         if cfg.add_hierarchy:
             graph = self.build_hierarchy(graph, vectors, sim)
         return graph, provider
