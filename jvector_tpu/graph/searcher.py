@@ -440,6 +440,7 @@ def _descend_hierarchy(
         "expand_per_iter",
         "threshold",
         "return_state",
+        "entry_seeds",
     ),
 )
 def _search_jit(
@@ -459,6 +460,7 @@ def _search_jit(
     exclude_ids: jax.Array | None = None,  # int32 [Q, P] drop from results
     return_state: bool = False,
     init_state: BeamState | None = None,
+    entry_seeds: int = 1,  # flat-graph beam seeds: entry + k-1 strided ids
 ) -> SearchResult:
     """One jitted two-pass wave search (see :func:`search` for the API)."""
     if beam_width is None:
@@ -475,6 +477,23 @@ def _search_jit(
             entries = jnp.broadcast_to(graph.entry_node[None], (Q,)).astype(
                 jnp.int32
             )
+            if entry_seeds > 1:
+                # multi-seed flat start: k-1 ordinal-strided extra entries
+                # (shuffled builds make ordinal stride a uniform sample).
+                # Multiple start points cut the graph-diameter walk that
+                # dominates sequential beam iterations; data-independent so
+                # no host sync and one compile per k.
+                s = jnp.arange(1, entry_seeds, dtype=jnp.int32)
+                strided = (s * graph.num_nodes) // jnp.int32(entry_seeds)
+                entries = jnp.concatenate(
+                    [
+                        entries[:, None],
+                        jnp.broadcast_to(
+                            strided[None], (Q, entry_seeds - 1)
+                        ),
+                    ],
+                    axis=1,
+                )
     else:
         entries = None
 

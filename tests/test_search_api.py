@@ -197,3 +197,17 @@ def test_threshold_patience_retention(dim, sim, seed):
         np.mean(np.asarray(unlimited.expanded_count))
     )
     assert saved > 0.2, f"patience saved only {saved:.2%} expansions"
+
+
+def test_entry_seeds_flat_graph(built):
+    """Multi-seed flat serving (entry + strided ordinals) is recall-safe."""
+    ds, cfg, graph, provider = built
+    q = jnp.asarray(ds.queries)
+    base = search(graph, provider, q, top_k=10, beam_width=40)
+    multi = search(graph, provider, q, top_k=10, beam_width=40, entry_seeds=8)
+    r0 = recall_at_k(np.asarray(base.ids), ds.ground_truth[:, :10], 10)
+    r8 = recall_at_k(np.asarray(multi.ids), ds.ground_truth[:, :10], 10)
+    assert r8 >= r0 - 0.02, (r8, r0)
+    for row in np.asarray(multi.ids):
+        live = [x for x in row.tolist() if x >= 0]
+        assert len(live) == len(set(live))
