@@ -119,3 +119,45 @@ search:
     assert cfg.compression[0]["type"] == "PQ"
     assert cfg.search_compression == [None, {"type": "SQ4"}]
     assert cfg.top_k_overquery == {10: [2.0]}
+
+
+def test_bench_cli_main(tmp_path):
+    """python -m jvector_tpu.bench: catalog regex -> grid run -> reports."""
+    import os
+
+    cat = tmp_path / "cat.yml"
+    cat.write_text(
+        "datasets:\n"
+        "  tiny-synth:\n"
+        "    format: synthetic\n"
+        "    n: 800\n"
+        "    dim: 16\n"
+        "    n_queries: 20\n"
+        "    k: 10\n"
+        "    similarity: euclidean\n"
+        "    seed: 0\n"
+    )
+    cfg = tmp_path / "cfg.yml"
+    cfg.write_text(
+        "yamlSchemaVersion: 1\n"
+        "construction:\n"
+        "  outDegree: [8]\n"
+        "  efConstruction: [24]\n"
+        "  addHierarchy: [No]\n"
+        "  compression: [none]\n"
+        "search:\n"
+        "  topKOverquery:\n"
+        "    5: [2.0]\n"
+    )
+    from jvector_tpu.bench.__main__ import main
+
+    out = tmp_path / "reports"
+    rc = main(
+        ["tiny.*", "--config", str(cfg), "--catalog", str(cat),
+         "--output", str(out)]
+    )
+    assert rc == 0
+    files = os.listdir(out)
+    assert any(f.endswith(".csv") for f in files)
+    assert any(f.endswith(".jsonl") for f in files)
+    assert main(["nomatch.*", "--catalog", str(cat)]) == 2
