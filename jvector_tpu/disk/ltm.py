@@ -57,6 +57,12 @@ def _add_array_chunked(
         writer.write_rows(name, a, np.asarray(arr[a : a + chunk], dt))
 
 
+# device-memory budget for the incremental fused table during LTM builds;
+# past it the build falls back to plain augmented-row searches (the 100M
+# regime).  Module-level so tests can force the non-fused path at small n.
+_FUSED_BUILD_BUDGET = 6 << 30
+
+
 def _entry_by_centroid(provider, centroid, n: int, chunk: int = 1 << 20) -> int:
     """Node nearest the (decoded) centroid, scored in bounded chunks.
 
@@ -247,9 +253,12 @@ def _build_on_disk_ltm_sq4(path, load, n, dim, config, sim, training_sample, see
     fused_build = (
         (config.row_cap * mp) % 1024 == 0
         and (mp % 128 == 0 or 128 % mp == 0)
-        and fused_bytes < (6 << 30)
+        and fused_bytes < _FUSED_BUILD_BUDGET
     )
-    codes = jnp.zeros((n_cap, mp), jnp.uint8)
+    # non-fused builds keep ONE device copy of the codes (inside the aug
+    # rows); a separate codes array duplicated 1.25 GB (padded) at 10M and
+    # tipped HBM over the compile budget.  The fused path needs the real
+    # array (fused table updates gather from it).
     node_w2 = jnp.zeros((n_cap,), jnp.float32)
     node_norm2 = jnp.zeros((n_cap,), jnp.float32)
     graph = empty_graph(n_cap, config)
@@ -286,6 +295,9 @@ def _build_on_disk_ltm_sq4(path, load, n, dim, config, sim, training_sample, see
         k_row = config.row_cap * mp
         fused_packed = jnp.zeros((n_cap, k_row // 128, 128), jnp.uint8)
         fused_w2 = jnp.zeros((n_cap, config.row_cap), jnp.float32)
+        codes = jnp.zeros((n_cap, mp), jnp.uint8)
+    else:
+        codes = None  # aug-backed provider (one device copy of the codes)
 
     t_wave = _time.time()
     w = config.wave_size
@@ -310,7 +322,10 @@ def _build_on_disk_ltm_sq4(path, load, n, dim, config, sim, training_sample, see
         wave = jnp.asarray(wave_np)
         wave_codes = sq.encode(wave)
         w2_w, norm2_w = sq.node_constants(wave_codes)
-        codes = jax.lax.dynamic_update_slice_in_dim(codes, wave_codes, start, axis=0)
+        if fused_build:
+            codes = jax.lax.dynamic_update_slice_in_dim(
+                codes, wave_codes, start, axis=0
+            )
         node_w2 = jax.lax.dynamic_update_slice_in_dim(node_w2, w2_w, start, axis=0)
         node_norm2 = jax.lax.dynamic_update_slice_in_dim(
             node_norm2, norm2_w, start, axis=0
@@ -387,6 +402,10 @@ def _build_on_disk_ltm_sq4(path, load, n, dim, config, sim, training_sample, see
         _add_array_chunked(writer, f"graph/L{l}/neighbors", layer.neighbors, np.int32)
         writer.add_array(f"graph/L{l}/counts", np.asarray(layer.counts))
     f = f"feature/{FeatureId.FUSED_SQ4}"
+    if codes is None:
+        # materialize the [N, MP] view once for the save/fused-layout pass
+        # (the wave loop is over; the transient fits easily now)
+        codes = provider._codes_array()
     _add_array_chunked(writer, f"{f}/codes_packed", codes, np.uint8)
     writer.add_array(f"{f}/node_const", np.asarray(const))
     if keep_fused_on_device:

@@ -482,7 +482,11 @@ class SQ4ScoreProvider:
       from the matching ``node_constants`` column), unused for DOT_PRODUCT
     """
 
-    codes_packed: jax.Array  # [N, MP] uint8
+    # None = derive code rows from ``codes_aug[..., :MP]`` inside jit (the
+    # column slice fuses into the row gather) — the LTM working set keeps
+    # ONE device copy of the codes instead of two (codes + aug duplicated
+    # the 10M corpus's 1.25 GB padded code table and tipped HBM over)
+    codes_packed: jax.Array | None  # [N, MP] uint8
     node_w2: jax.Array  # [N] float32: sum (a k)^2
     node_norm2: jax.Array  # [N] float32: ||dequant||^2
     fused_packed: jax.Array  # [N, R*MP] uint8 (2-D, see class docstring)
@@ -506,6 +510,26 @@ class SQ4ScoreProvider:
         # a provider built with empty fused tables (e.g. the LTM working
         # set before the final layout exists) scores via plain code rows
         return self.fused_packed.shape[1] > 0
+
+    @property
+    def mp(self) -> int:
+        """Packed code bytes per node (with or without a codes_packed array)."""
+        if self.codes_packed is not None:
+            return self.codes_packed.shape[1]
+        return self.codes_aug.shape[1] - 4
+
+    def _code_rows(self, ids: jax.Array) -> jax.Array:
+        """Gather packed code rows for arbitrary ids (aug-backed if needed)."""
+        if self.codes_packed is not None:
+            return self.codes_packed[ids]
+        return self.codes_aug[ids][..., : self.mp]
+
+    def _codes_array(self) -> jax.Array:
+        """A whole [N, MP] codes array (materializes a slice when aug-backed
+        — only for save/refresh paths, never per-wave)."""
+        if self.codes_packed is not None:
+            return self.codes_packed
+        return self.codes_aug[:, : self.mp]
 
     @property
     def padded_dim(self) -> int:
@@ -553,7 +577,7 @@ class SQ4ScoreProvider:
 
         u, c0 = qstate
         if self.codes_aug is not None:
-            mp = self.codes_packed.shape[1]
+            mp = self.mp
             rows = self.codes_aug[ids]  # ONE gather: codes + packed constant
             k = unpack_nibble_rows_grouped(rows[..., :mp]).astype(jnp.float32)
             acc = jnp.einsum(
@@ -568,7 +592,7 @@ class SQ4ScoreProvider:
                 jnp.float32,
             )
             return self._finish(acc, c0, const, const)
-        k = unpack_nibble_rows_grouped(self.codes_packed[ids]).astype(jnp.float32)
+        k = unpack_nibble_rows_grouped(self._code_rows(ids)).astype(jnp.float32)
         acc = jnp.einsum("qcd,qd->qc", k, u, preferred_element_type=jnp.float32)
         return self._finish(acc, c0, self.node_w2[ids], self.node_norm2[ids])
 
@@ -585,7 +609,7 @@ class SQ4ScoreProvider:
             else self.node_w2
         )
         fused_packed, fused_w2 = build_fused_sq4(
-            neighbors, self.codes_packed, const
+            neighbors, self._codes_array(), const
         )
         return dataclasses.replace(
             self, fused_packed=fused_packed, fused_w2=fused_w2
@@ -597,7 +621,7 @@ class SQ4ScoreProvider:
 
         u, c0 = qstate
         q = node_ids.shape[0]
-        mp = self.codes_packed.shape[1]
+        mp = self.mp
         rows = self.fused_packed[node_ids]  # [Q, (E,) R*MP]
         w2 = self.fused_w2[node_ids]  # [Q, (E,) R]
         rows = rows.reshape(q, -1, mp)  # [Q, E*R, MP]
@@ -611,7 +635,7 @@ class SQ4ScoreProvider:
     def decode(self, ids: jax.Array) -> jax.Array:
         from jvector_tpu.quantization.sq import unpack_nibble_rows
 
-        k = unpack_nibble_rows(self.codes_packed[ids]).astype(jnp.float32)
+        k = unpack_nibble_rows(self._code_rows(ids)).astype(jnp.float32)
         return k * self.scale + self.offset
 
     def score_nodes(self, node_ids: jax.Array, ids: jax.Array) -> jax.Array:

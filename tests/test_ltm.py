@@ -178,3 +178,36 @@ def test_ltm_sq4_backlink_burst_adversarial_fanin(tmp_path):
     )
     r2 = recall_at_k(np.asarray(res2.ids), gt2, 10)
     assert r2 >= 0.85, f"LTM far-region recall {r2}"
+
+
+def test_ltm_sq4_nonfused_working_set(tmp_path, monkeypatch):
+    """The past-budget (100M-regime) path: plain augmented-row wave searches
+    with NO separate codes array (aug-backed provider) — regression for the
+    10M HBM-OOM where codes+aug duplicated the padded code table."""
+    import numpy as np
+
+    from jvector_tpu.disk import ltm as ltm_mod
+    from jvector_tpu.disk.host_graph import HostGraphIndex
+    from jvector_tpu.graph import GraphConfig
+    from jvector_tpu.util.datasets import (
+        exact_ground_truth,
+        recall_at_k,
+        synthetic_dataset,
+    )
+
+    monkeypatch.setattr(ltm_mod, "_FUSED_BUILD_BUDGET", 0)  # force non-fused
+    ds = synthetic_dataset(n=4000, dim=64, n_queries=64, k=10, n_clusters=24, seed=9)
+    base = np.asarray(ds.base)
+    gt = exact_ground_truth(ds.base, ds.queries, 10)
+    path = tmp_path / "nonfused.jvtpu"
+    cfg = GraphConfig(max_degree=16, ef_construction=48, wave_size=256)
+    graph, provider = ltm_mod.build_on_disk_ltm(
+        str(path), lambda a, b: base[a:b], n=4000, dim=64,
+        config=cfg, compression="sq4",
+    )
+    hg = HostGraphIndex.load(str(path))
+    import jax.numpy as jnp
+
+    res = hg.search(jnp.asarray(ds.queries), top_k=10, beam_width=40, expand=4)
+    r = recall_at_k(np.asarray(res.ids), gt, 10)
+    assert r >= 0.9, r
