@@ -59,7 +59,6 @@ def _pairwise_from_provider(provider, ids: jax.Array) -> jax.Array:
     return provider.pairwise(safe, safe)
 
 
-@partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
 def _insert_wave(
     graph: GraphIndex,
     provider,
@@ -78,7 +77,50 @@ def _insert_wave(
     quantization step, and tie-broken prunes disconnect such clusters
     (tests/test_graph.py::test_backlink_burst_adversarial_fanin) — beam
     search tolerates the ties, the prune does not.
+
+    Two programs, like the fused path: a read-only beam search and a
+    scatter-only update.  In ONE program XLA defensively copies every
+    array that is both captured by the search ``while_loop`` and scattered
+    (at 10M that is a 5 GB neighbors copy — the difference between the
+    LTM build compiling and an HBM OOM); split, the donated update
+    scatters in place.
     """
+    beam_ids, beam_scores = _wave_search(
+        graph.base.neighbors,
+        provider,
+        graph.entry_node,
+        wave_ids,
+        wave_vectors,
+        config,
+        seed_ids,
+    )
+    rescore = prune_provider is not None and prune_provider is not provider
+    return _wave_update_plain(
+        graph,
+        prune_provider if rescore else provider,
+        wave_ids,
+        wave_vectors,
+        beam_ids,
+        beam_scores,
+        config,
+        rescore,
+    )
+
+
+@partial(
+    jax.jit, static_argnames=("config", "rescore"), donate_argnums=(0,)
+)
+def _wave_update_plain(
+    graph: GraphIndex,
+    prune_provider,  # scores intra-wave pairs, the prune (+ rescore)
+    wave_ids: jax.Array,  # int32 [W], -1 padded on the ragged final wave
+    wave_vectors: jax.Array,  # float32 [W, D]
+    beam_ids: jax.Array,  # int32 [W, ef] from _wave_search
+    beam_scores: jax.Array,  # float32 [W, ef]
+    config: GraphConfig,
+    rescore: bool = False,  # beam scores are compressed -> re-rank exact
+) -> GraphIndex:
+    """Scatter-only half of :func:`_insert_wave` (steps 2-5)."""
     W = wave_ids.shape[0]
     layer = graph.base
     N_cap, R_cap = layer.neighbors.shape
@@ -86,28 +128,6 @@ def _insert_wave(
     ef = config.ef_construction
     wave_valid = wave_ids >= 0
     safe_wave = jnp.where(wave_valid, wave_ids, 0)
-    if prune_provider is None:
-        prune_provider = provider
-
-    qstate = provider.prepare(wave_vectors)
-
-    # -- 1. beam search the current graph --------------------------------
-    entries = jnp.where(
-        wave_valid & (graph.entry_node >= 0), graph.entry_node, -1
-    ).astype(jnp.int32)
-    if seed_ids is not None and seed_ids.shape[1] > 0:
-        # multi-seed entries (see _wave_search): shorter graph-diameter walks
-        extra = jnp.where(wave_valid[:, None], seed_ids, -1).astype(jnp.int32)
-        entries = jnp.concatenate([entries[:, None], extra], axis=1)
-    beam = search_layer(
-        layer.neighbors,
-        provider,
-        qstate,
-        entries,
-        beam_width=ef,
-        max_iters=config.max_build_iters,
-        expand_per_iter=config.build_expand,
-    )
 
     # -- 2. intra-wave candidates (replaces insertionsInProgress) --------
     prune_qstate = prune_provider.prepare(wave_vectors)
@@ -137,13 +157,13 @@ def _insert_wave(
         intra_top_ids = jnp.take_along_axis(intra_ids, intra_idx, axis=1)
     else:
         intra_top_scores, intra_top_ids = intra_scores, intra_ids
-    cand_ids = jnp.concatenate([beam.ids[:, :ef], intra_top_ids], axis=1)
+    cand_ids = jnp.concatenate([beam_ids[:, :ef], intra_top_ids], axis=1)
     cand_scores = jnp.concatenate(
-        [beam.scores[:, :ef], intra_top_scores], axis=1
+        [beam_scores[:, :ef], intra_top_scores], axis=1
     )
     cand_scores = tie_break_scores(safe_wave, cand_ids, cand_scores)
     cand_ids, cand_scores = dedup_sorted_desc(cand_ids, cand_scores)
-    if prune_provider is not provider:
+    if rescore:
         # compressed search scores only drove DISCOVERY; re-rank the pooled
         # candidates full-precision (one [W, C] row gather) so the prune,
         # the stored edge scores, and the greedy order are exact
