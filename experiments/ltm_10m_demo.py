@@ -68,7 +68,7 @@ path = "/tmp/ltm_10m_sq4.jvtpu"
 cfg = GraphConfig(max_degree=32, ef_construction=100)
 t0 = time.time()
 graph, provider = build_on_disk_ltm(path, lambda a, b: base_np[a:b], n=N, dim=D,
-                                    config=cfg, compression="sq4")
+                                    config=cfg, compression="sq4", capacity=N)
 build_s = time.time() - t0
 print(f"LTM build 10M: {build_s:.1f}s  file={os.path.getsize(path)/1e9:.2f} GB "
       f"fused_on_device={provider.supports_fused}", flush=True)

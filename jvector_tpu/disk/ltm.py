@@ -95,6 +95,7 @@ def build_on_disk_ltm(
     training_sample: int = 65_536,
     seed: int = 0,
     compression: str = "pq",
+    capacity: int | None = None,
 ) -> tuple[GraphIndex, object]:
     """Stream-build an index bigger than device memory, writing as we go.
 
@@ -116,7 +117,7 @@ def build_on_disk_ltm(
     load = (lambda a, b: vectors[a:b]) if isinstance(vectors, np.ndarray) else vectors
     if compression == "sq4":
         return _build_on_disk_ltm_sq4(
-            path, load, n, dim, config, sim, training_sample, seed
+            path, load, n, dim, config, sim, training_sample, seed, capacity
         )
 
     # ---- phase A: PQ training on a sample --------------------------------
@@ -217,7 +218,9 @@ def build_on_disk_ltm(
     return graph, provider
 
 
-def _build_on_disk_ltm_sq4(path, load, n, dim, config, sim, training_sample, seed):
+def _build_on_disk_ltm_sq4(
+    path, load, n, dim, config, sim, training_sample, seed, capacity=None
+):
     """SQ4 LTM build: 4-bit working set + fused-SQ4 save for host serving."""
     from jvector_tpu.graph.score import (
         SQ4ScoreProvider,
@@ -241,7 +244,12 @@ def _build_on_disk_ltm_sq4(path, load, n, dim, config, sim, training_sample, see
     from jvector_tpu.graph.builder import _fused_aligned_config
     from jvector_tpu.graph.index import bucket_capacity
 
-    n_cap = bucket_capacity(n)
+    # one-shot big builds can pin capacity to ~n: the default 12.5%-slack
+    # compile bucket costs ~560 MB of padded graph arrays at 10M — the
+    # margin between the update program compiling and an HBM OOM.  Keep a
+    # 1024 alignment so layouts stay tidy.
+    n_cap = capacity if capacity else bucket_capacity(n)
+    n_cap = max(-(-n_cap // 1024) * 1024, -(-n // 1024) * 1024)
     mp = sq.compressed_size
     # Fused-accelerated LTM construction: when the incremental fused code
     # table fits device memory, build with the same fused wave programs as
