@@ -39,10 +39,21 @@ def main(argv: list[str] | None = None) -> int:
     from jvector_tpu.bench.grid import run_yaml
     from jvector_tpu.util.catalog import Catalog
 
-    root = os.getcwd()
-    configs = args.config or [os.path.join(root, "yaml-configs", "default.yml")]
+    def _default(*rel: str) -> str:
+        """Resolve yaml-configs/ against cwd, then the repo checkout."""
+        roots = [
+            os.getcwd(),
+            os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ]
+        tried = [os.path.join(r, *rel) for r in roots]
+        for p in tried:
+            if os.path.exists(p):
+                return p
+        raise SystemExit(f"no default {'/'.join(rel)} found; tried {tried}")
+
+    configs = args.config or [_default("yaml-configs", "default.yml")]
     catalogs = args.catalog or [
-        os.path.join(root, "yaml-configs", "dataset-catalogs", "local.yml")
+        _default("yaml-configs", "dataset-catalogs", "local.yml")
     ]
     patterns = args.patterns or [".*"]
 

@@ -192,9 +192,7 @@ class HostGraphIndex:
         if r.has_array(inline):
             from jvector_tpu.disk.host_tier import HostVectorStore
 
-            store = HostVectorStore.from_index_file(
-                r, inline, idx.meta.get("similarity", "euclidean")
-            )
+            store = HostVectorStore.from_index_file(r, inline, sim)
         return HostGraphIndex(
             neighbors=r.read("graph/L0/neighbors", mmap=True),
             fused_packed=r.read(f"{f}/fused_packed", mmap=True),

@@ -26,8 +26,8 @@ import numpy as np
 from jvector_tpu.disk.format import FeatureId, IndexFileWriter
 from jvector_tpu.graph.builder import (
     GraphIndexBuilder,
+    _EntrySeedSampler,
     _insert_wave,
-    _sample_entry_seeds,
     _shuffled_wave_starts,
 )
 from jvector_tpu.graph.index import GraphConfig, GraphIndex, empty_graph
@@ -140,7 +140,8 @@ def build_on_disk_ltm(
 
     from jvector_tpu.graph.index import bucket_capacity
 
-    n_cap = bucket_capacity(n)
+    n_cap = capacity if capacity else bucket_capacity(n)
+    n_cap = max(-(-n_cap // 1024) * 1024, -(-n // 1024) * 1024)
     codes = jnp.zeros((n_cap, pq.m), jnp.uint8)
     graph = empty_graph(n_cap, config)
 
@@ -151,10 +152,7 @@ def build_on_disk_ltm(
     # graph.builder._shuffled_wave_starts — the loader only ever sees
     # contiguous chunk reads, and the inline vector writes are positional)
     w = config.wave_size
-    n_seeds = max(1, config.build_entry_seeds)
-    seed_rng = np.random.default_rng(0xBEE5)
-    inserted = np.empty(n, np.int32)
-    n_ins = 0
+    seeds = _EntrySeedSampler(n, w, config.build_entry_seeds)
     for start in _shuffled_wave_starts(n, w):
         stop = min(start + w, n)
         wave_np = np.asarray(load(start, stop), np.float32)
@@ -177,11 +175,9 @@ def build_on_disk_ltm(
             )
         graph = _insert_wave(
             graph, provider, jnp.asarray(ids), wave, config,
-            seed_ids=_sample_entry_seeds(seed_rng, inserted, n_ins, w, n_seeds),
+            seed_ids=seeds.sample(),
         )
-        valid_ids = ids[ids >= 0]
-        inserted[n_ins : n_ins + valid_ids.size] = valid_ids
-        n_ins += valid_ids.size
+        seeds.record(ids)
 
     # ---- phase C: cleanup + persist graph ---------------------------------
     provider = ADCScoreProvider(
@@ -309,10 +305,7 @@ def _build_on_disk_ltm_sq4(
 
     t_wave = _time.time()
     w = config.wave_size
-    n_seeds = max(1, config.build_entry_seeds)
-    seed_rng = np.random.default_rng(0xBEE5)
-    inserted = np.empty(n, np.int32)
-    n_ins = 0
+    seeds = _EntrySeedSampler(n, w, config.build_entry_seeds)
     for wi, start in enumerate(_shuffled_wave_starts(n, w)):
         if wi and wi % 256 == 0:
             # bounded sync: surfaces async device faults at an attributable
@@ -350,7 +343,7 @@ def _build_on_disk_ltm_sq4(
             wave = jnp.concatenate(
                 [wave, jnp.zeros((w - (stop - start), dim), jnp.float32)], axis=0
             )
-        seed_dev = _sample_entry_seeds(seed_rng, inserted, n_ins, w, n_seeds)
+        seed_dev = seeds.sample()
         if fused_build:
             # fused wave search + slot-exact table maintenance; the rescore
             # and prune run on the SAME SQ4 provider (full-res rows of
@@ -377,9 +370,7 @@ def _build_on_disk_ltm_sq4(
                 graph, provider, jnp.asarray(ids), wave, config,
                 seed_ids=seed_dev,
             )
-        valid_ids = ids[ids >= 0]
-        inserted[n_ins : n_ins + valid_ids.size] = valid_ids
-        n_ins += valid_ids.size
+        seeds.record(ids)
 
     provider = make_provider(codes, node_w2, node_norm2, aug)
     jax.block_until_ready(graph.base.neighbors)

@@ -280,6 +280,33 @@ def _wave_update_plain(
     )
 
 
+class _EntrySeedSampler:
+    """Host-side multi-seed bookkeeping for wave builds.
+
+    One object owns the RNG, the inserted-id prefix, and the update
+    discipline (record AFTER the wave's search is dispatched) — the four
+    build loops (in-memory fused/plain, LTM pq/sq4) all share it so they
+    cannot drift apart.
+    """
+
+    def __init__(self, n: int, w: int, n_seeds: int):
+        self.rng = np.random.default_rng(0xBEE5)
+        self.inserted = np.empty(n, np.int32)
+        self.n_ins = 0
+        self.w = w
+        self.n_seeds = max(1, n_seeds)
+
+    def sample(self) -> jax.Array | None:
+        return _sample_entry_seeds(
+            self.rng, self.inserted, self.n_ins, self.w, self.n_seeds
+        )
+
+    def record(self, ids: np.ndarray) -> None:
+        valid = ids[ids >= 0]
+        self.inserted[self.n_ins : self.n_ins + valid.size] = valid
+        self.n_ins += valid.size
+
+
 def _sample_entry_seeds(
     rng: np.random.Generator,
     inserted: np.ndarray,  # int32 [n] prefix-filled with inserted node ids
@@ -332,7 +359,9 @@ def _wave_search(
         jnp.int32
     )
     if seed_ids is not None and seed_ids.shape[1] > 0:
-        extra = jnp.where(wave_valid[:, None], seed_ids, -1).astype(jnp.int32)
+        # clamp so total entries always fit the beam (ef)
+        extra = seed_ids[:, : max(0, ef - 1)]
+        extra = jnp.where(wave_valid[:, None], extra, -1).astype(jnp.int32)
         entries = jnp.concatenate([entries[:, None], extra], axis=1)
     beam = search_layer(
         graph_neighbors,
@@ -787,10 +816,7 @@ class GraphIndexBuilder:
             # multi-seed wave searches: sample extra entry points from the
             # already-inserted prefix HOST-side (the wave schedule is host-
             # known, so no device sync) — see GraphConfig.build_entry_seeds
-            n_seeds = max(1, cfg.build_entry_seeds)
-            seed_rng = np.random.default_rng(0xBEE5)
-            inserted = np.empty(n, np.int32)
-            n_ins = 0
+            seeds = _EntrySeedSampler(n, w, cfg.build_entry_seeds)
             for start in _shuffled_wave_starts(n, w):
                 ids = np.arange(start, start + w, dtype=np.int32)
                 ids = np.where(ids < n, ids, -1)
@@ -799,9 +825,6 @@ class GraphIndexBuilder:
                 bp = dataclasses.replace(
                     build_provider, fused_packed=fused_packed, fused_w2=fused_w2
                 )
-                seed_dev = _sample_entry_seeds(
-                    seed_rng, inserted, n_ins, w, n_seeds
-                )
                 beam_ids, beam_scores = _wave_search(
                     graph.base.neighbors,
                     bp,
@@ -809,11 +832,9 @@ class GraphIndexBuilder:
                     ids_dev,
                     wv,
                     cfg,
-                    seed_dev,
+                    seeds.sample(),
                 )
-                valid_ids = ids[ids >= 0]
-                inserted[n_ins : n_ins + valid_ids.size] = valid_ids
-                n_ins += valid_ids.size
+                seeds.record(ids)
                 graph, fused_packed, fused_w2 = _wave_update_fused(
                     graph,
                     fused_packed,
@@ -828,24 +849,16 @@ class GraphIndexBuilder:
                     cfg,
                 )
         else:
-            n_seeds = max(1, cfg.build_entry_seeds)
-            seed_rng = np.random.default_rng(0xBEE5)
-            inserted = np.empty(n, np.int32)
-            n_ins = 0
+            seeds = _EntrySeedSampler(n, w, cfg.build_entry_seeds)
             for start in _shuffled_wave_starts(n, w):
                 ids = np.arange(start, start + w, dtype=np.int32)
                 ids = np.where(ids < n, ids, -1)
                 wv = vectors[jnp.minimum(jnp.asarray(ids), n - 1)]
-                seed_dev = _sample_entry_seeds(
-                    seed_rng, inserted, n_ins, w, n_seeds
-                )
                 graph = _insert_wave(
                     graph, build_provider, jnp.asarray(ids), wv, cfg,
-                    seed_ids=seed_dev,
+                    seed_ids=seeds.sample(),
                 )
-                valid_ids = ids[ids >= 0]
-                inserted[n_ins : n_ins + valid_ids.size] = valid_ids
-                n_ins += valid_ids.size
+                seeds.record(ids)
 
         if timed:
             jax.block_until_ready(graph.base.neighbors)

@@ -482,9 +482,12 @@ def _search_jit(
                 # (shuffled builds make ordinal stride a uniform sample).
                 # Multiple start points cut the graph-diameter walk that
                 # dominates sequential beam iterations; data-independent so
-                # no host sync and one compile per k.
+                # no host sync and one compile per k.  Clamped to the beam
+                # (search_layer seeds must fit) and computed stride-first
+                # so s * num_nodes can't overflow int32 at 100M scale.
+                entry_seeds = min(entry_seeds, beam_width)
                 s = jnp.arange(1, entry_seeds, dtype=jnp.int32)
-                strided = (s * graph.num_nodes) // jnp.int32(entry_seeds)
+                strided = s * (graph.num_nodes // jnp.int32(entry_seeds))
                 entries = jnp.concatenate(
                     [
                         entries[:, None],
