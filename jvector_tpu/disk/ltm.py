@@ -63,6 +63,33 @@ def _add_array_chunked(
 _FUSED_BUILD_BUDGET = 6 << 30
 
 
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("cosine",))
+def _ltm_wave_encode(aug, node_w2, node_norm2, sq, wave, start, cosine):
+    """One program per wave for the LTM working-set update.
+
+    Eagerly, this was ~6 dispatches per wave and THREE out-of-place
+    dynamic_update_slice copies of the multi-GB working set (no donation
+    outside jit); fused + donated they update in place.
+    """
+    from jvector_tpu.graph.score import sq4_aug_rows
+
+    wave_codes = sq.encode(wave)
+    w2_w, norm2_w = sq.node_constants(wave_codes)
+    node_w2 = jax.lax.dynamic_update_slice_in_dim(node_w2, w2_w, start, axis=0)
+    node_norm2 = jax.lax.dynamic_update_slice_in_dim(
+        node_norm2, norm2_w, start, axis=0
+    )
+    const_w = norm2_w if cosine else w2_w
+    aug = jax.lax.dynamic_update_slice_in_dim(
+        aug, sq4_aug_rows(wave_codes, const_w), start, axis=0
+    )
+    return aug, node_w2, node_norm2, wave_codes
+
+
 def _entry_by_centroid(provider, centroid, n: int, chunk: int = 1 << 20) -> int:
     """Node nearest the (decoded) centroid, scored in bounded chunks.
 
@@ -321,20 +348,14 @@ def _build_on_disk_ltm_sq4(
             f"feature/{FeatureId.INLINE_VECTORS}/vectors", start, wave_np
         )
         wave = jnp.asarray(wave_np)
-        wave_codes = sq.encode(wave)
-        w2_w, norm2_w = sq.node_constants(wave_codes)
+        aug, node_w2, node_norm2, wave_codes = _ltm_wave_encode(
+            aug, node_w2, node_norm2, sq, wave, jnp.int32(start),
+            cosine=sim == SimilarityFunction.COSINE,
+        )
         if fused_build:
             codes = jax.lax.dynamic_update_slice_in_dim(
                 codes, wave_codes, start, axis=0
             )
-        node_w2 = jax.lax.dynamic_update_slice_in_dim(node_w2, w2_w, start, axis=0)
-        node_norm2 = jax.lax.dynamic_update_slice_in_dim(
-            node_norm2, norm2_w, start, axis=0
-        )
-        const_w = norm2_w if sim == SimilarityFunction.COSINE else w2_w
-        aug = jax.lax.dynamic_update_slice_in_dim(
-            aug, sq4_aug_rows(wave_codes, const_w), start, axis=0
-        )
         provider = make_provider(codes, node_w2, node_norm2, aug)
 
         ids = np.arange(start, start + w, dtype=np.int32)
