@@ -968,11 +968,19 @@ class GraphIndexBuilder:
             centroid = jnp.mean(vectors, axis=0, keepdims=True)
             qstate = provider.prepare(centroid)
             n = vectors.shape[0]
-            scores = provider.score(
-                qstate, jnp.arange(n, dtype=jnp.int32)[None, :]
-            )[0]
-            entry = jnp.argmax(scores).astype(jnp.int32)
-            graph = graph._replace(entry_node=entry)
+            # chunked argmax: one full-table score call materializes a
+            # [1, n, D] f32 intermediate (5 GB at 10M) — same hazard as
+            # the LTM entry scoring (disk/ltm._entry_by_centroid)
+            chunk = 1 << 20
+            best_score, best_id = -float("inf"), 0
+            for a in range(0, n, chunk):
+                ids = jnp.arange(a, min(a + chunk, n), dtype=jnp.int32)
+                sc = provider.score(qstate, ids[None, :])[0]
+                i = int(jnp.argmax(sc))
+                s = float(sc[i])
+                if s > best_score:
+                    best_score, best_id = s, a + i
+            graph = graph._replace(entry_node=jnp.int32(best_id))
         return graph
 
 
