@@ -66,12 +66,28 @@ print(f"gt {time.time()-t0:.1f}s", flush=True)
 
 path = "/tmp/ltm_10m_sq4.jvtpu"
 cfg = GraphConfig(max_degree=32, ef_construction=100)
+
+
+def _index_complete(p):
+    try:
+        from jvector_tpu.disk.format import IndexFileReader
+        return IndexFileReader(p).meta.get("ltm", False)
+    except Exception:
+        return False
+
+
 t0 = time.time()
-graph, provider = build_on_disk_ltm(path, lambda a, b: base_np[a:b], n=N, dim=D,
-                                    config=cfg, compression="sq4", capacity=N)
-build_s = time.time() - t0
-print(f"LTM build 10M: {build_s:.1f}s  file={os.path.getsize(path)/1e9:.2f} GB "
-      f"fused_on_device={provider.supports_fused}", flush=True)
+if _index_complete(path):
+    print("index already built; skipping to serve", flush=True)
+else:
+    # checkpoint_every=4800 waves (~35 min of build): a tunnel outage loses
+    # at most one checkpoint interval, and the re-run resumes automatically
+    build_on_disk_ltm(path, lambda a, b: base_np[a:b], n=N, dim=D,
+                      config=cfg, compression="sq4", capacity=N,
+                      checkpoint_every=4800)
+    build_s = time.time() - t0
+    print(f"LTM build 10M: {build_s:.1f}s  file={os.path.getsize(path)/1e9:.2f} GB",
+          flush=True)
 
 hg = HostGraphIndex.load(path)
 from jvector_tpu.disk.format import load_index

@@ -128,6 +128,54 @@ class IndexFileWriter:
     def set_meta(self, **kv) -> None:
         self._meta.update(kv)
 
+    def state_dict(self) -> dict:
+        """JSON-able snapshot of the writer (for build checkpoint/resume).
+
+        Captures the arrays written/reserved so far, pending metadata and the
+        current file size, so an interrupted incremental build (the LTM wave
+        loop) can :meth:`resume` the same file after a crash.  Analogous to
+        the reference's durable incremental-write contract
+        (``RandomAccessOnDiskGraphIndexWriter`` positional writes + the
+        footer-last commit discipline).
+        """
+        self._f.flush()
+        os.fsync(self._f.fileno())
+        return {
+            "arrays": {k: dataclasses.asdict(v) for k, v in self._arrays.items()},
+            "meta": dict(self._meta),
+            "file_size": self._f.seek(0, os.SEEK_END),
+        }
+
+    @classmethod
+    def resume(cls, path: str | os.PathLike, state: dict) -> "IndexFileWriter":
+        """Reopen a partially written (footer-less) file from :meth:`state_dict`.
+
+        Truncates past ``file_size`` — bytes appended after the snapshot
+        (e.g. a crash mid-save) are discarded; positional row writes inside
+        reserved extents are idempotent and need no rollback.
+        """
+        w = cls.__new__(cls)
+        w.path = str(path)
+        w._f = open(w.path, "rb+")
+        if w._f.read(6) != MAGIC:
+            w._f.close()
+            raise ValueError(f"{path}: bad magic (not a jvtpu file)")
+        w._f.truncate(state["file_size"])
+        w._f.seek(0, os.SEEK_END)
+        w._arrays = {
+            k: _ArrayEntry(
+                dtype=v["dtype"],
+                shape=tuple(v["shape"]),
+                offset=v["offset"],
+                nbytes=v["nbytes"],
+                crc32=v["crc32"],
+            )
+            for k, v in state["arrays"].items()
+        }
+        w._meta = dict(state["meta"])
+        w._closed = False
+        return w
+
     def close(self) -> None:
         if self._closed:
             return

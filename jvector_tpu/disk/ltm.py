@@ -17,6 +17,7 @@ full-res vectors act as queries, exactly like the reference's
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, Iterator
 
 import jax
@@ -57,6 +58,20 @@ def _add_array_chunked(
         writer.write_rows(name, a, np.asarray(arr[a : a + chunk], dt))
 
 
+def _upload_chunked(arr: np.ndarray, max_bytes: int = 512 << 20) -> jax.Array:
+    """Host→device upload in bounded row chunks (tunnel-safe mirror of
+    :func:`_add_array_chunked`; multi-GB single transfers are the risk)."""
+    row_bytes = max(1, int(np.prod(arr.shape[1:]))) * arr.dtype.itemsize
+    chunk = max(1, max_bytes // row_bytes)
+    if arr.ndim == 0 or arr.shape[0] <= chunk:
+        return jnp.asarray(np.ascontiguousarray(arr))
+    parts = [
+        jax.device_put(np.ascontiguousarray(arr[a : a + chunk]))
+        for a in range(0, arr.shape[0], chunk)
+    ]
+    return jnp.concatenate(parts, axis=0)
+
+
 # device-memory budget for the incremental fused table during LTM builds;
 # past it the build falls back to plain augmented-row searches (the 100M
 # regime).  Module-level so tests can force the non-fused path at small n.
@@ -88,6 +103,69 @@ def _ltm_wave_encode(aug, node_w2, node_norm2, sq, wave, start, cosine):
         aug, sq4_aug_rows(wave_codes, const_w), start, axis=0
     )
     return aug, node_w2, node_norm2, wave_codes
+
+
+def _ckpt_save(
+    path: str,
+    writer: IndexFileWriter,
+    seeds: "_EntrySeedSampler",
+    waves_done: int,
+    arrays: dict[str, tuple],
+    meta: dict,
+) -> None:
+    """Atomically persist mid-build state to ``path`` (a jvtpu container).
+
+    Durability for the larger-than-memory wave loop: a multi-hour 10M+
+    stream build survives process/device loss and resumes at the last
+    checkpointed wave (reference durability analog: footer-last commit +
+    ``OnDiskGraphIndexCache`` atomic-rename discipline).  The tmp+rename
+    plus the container's own footer check make torn checkpoints
+    unreadable rather than corrupt.
+    """
+    tmp = path + ".tmp"
+    w = IndexFileWriter(tmp)
+    for name, (arr, dtype) in arrays.items():
+        _add_array_chunked(w, name, arr, dtype)
+    ss = seeds.state_dict()
+    w.add_array("seeds/inserted", np.asarray(ss["inserted"], np.int32))
+    import json as _json
+
+    w.set_meta(
+        waves_done=waves_done,
+        rng_state=_json.dumps(ss["rng_state"]),
+        writer_state=writer.state_dict(),
+        **meta,
+    )
+    w.close()
+    os.replace(tmp, path)
+
+
+def _ckpt_load(path: str, expect_meta: dict) -> dict | None:
+    """Load a checkpoint if present, valid, and built with matching knobs."""
+    import json as _json
+    import logging
+
+    if not os.path.exists(path):
+        return None
+    try:
+        from jvector_tpu.disk.format import IndexFileReader
+
+        r = IndexFileReader(path)
+    except Exception as e:  # torn/corrupt checkpoint: rebuild from scratch
+        logging.getLogger(__name__).warning("ignoring bad checkpoint %s: %s", path, e)
+        return None
+    for k, v in expect_meta.items():
+        if r.meta.get(k) != v:
+            logging.getLogger(__name__).warning(
+                "ignoring checkpoint %s: %s=%r != %r", path, k, r.meta.get(k), v
+            )
+            return None
+    out = {"meta": r.meta, "reader": r}
+    out["seeds_state"] = {
+        "rng_state": _json.loads(r.meta["rng_state"]),
+        "inserted": r.read("seeds/inserted", mmap=False),
+    }
+    return out
 
 
 def _entry_by_centroid(provider, centroid, n: int, chunk: int = 1 << 20) -> int:
@@ -123,6 +201,7 @@ def build_on_disk_ltm(
     seed: int = 0,
     compression: str = "pq",
     capacity: int | None = None,
+    checkpoint_every: int = 0,
 ) -> tuple[GraphIndex, object]:
     """Stream-build an index bigger than device memory, writing as we go.
 
@@ -138,14 +217,23 @@ def build_on_disk_ltm(
     the fused-SQ4 feature so it can be served directly by
     :class:`jvector_tpu.disk.host_graph.HostGraphIndex` with bounded
     device memory — the full 100M larger-than-memory pipeline.
+
+    ``checkpoint_every`` (waves; 0 = off, sq4 only) periodically persists
+    the full build state to ``path + ".ckpt"``; re-running the same call
+    resumes at the last checkpoint — multi-hour stream builds survive
+    process or device loss.  Resumed builds are bit-identical to
+    uninterrupted ones (deterministic wave order + checkpointed RNG).
     """
     sim = SimilarityFunction.parse(sim)
     config = config or GraphConfig()
     load = (lambda a, b: vectors[a:b]) if isinstance(vectors, np.ndarray) else vectors
     if compression == "sq4":
         return _build_on_disk_ltm_sq4(
-            path, load, n, dim, config, sim, training_sample, seed, capacity
+            path, load, n, dim, config, sim, training_sample, seed, capacity,
+            checkpoint_every,
         )
+    if checkpoint_every:
+        raise ValueError("checkpoint_every is only supported for compression='sq4'")
 
     # ---- phase A: PQ training on a sample --------------------------------
     if pq is None:
@@ -242,7 +330,8 @@ def build_on_disk_ltm(
 
 
 def _build_on_disk_ltm_sq4(
-    path, load, n, dim, config, sim, training_sample, seed, capacity=None
+    path, load, n, dim, config, sim, training_sample, seed, capacity=None,
+    checkpoint_every=0,
 ):
     """SQ4 LTM build: 4-bit working set + fused-SQ4 save for host serving."""
     from jvector_tpu.graph.score import (
@@ -252,17 +341,36 @@ def _build_on_disk_ltm_sq4(
     )
     from jvector_tpu.quantization.sq import ScalarQuantization4
 
-    rng = np.random.default_rng(seed)
-    k = min(training_sample, n)
-    sample_rows = np.sort(rng.choice(n, k, replace=False))
-    chunks = []
-    step = 262_144
-    for a in range(0, n, step):
-        in_chunk = sample_rows[(sample_rows >= a) & (sample_rows < a + step)]
-        if len(in_chunk):
-            blk = load(a, min(a + step, n))
-            chunks.append(np.asarray(blk)[in_chunk - a])
-    sq = ScalarQuantization4.compute(np.concatenate(chunks, axis=0))
+    path = str(path)
+    ckpt_file = path + ".ckpt"
+    ckpt = None
+    if checkpoint_every:
+        ckpt = _ckpt_load(
+            ckpt_file,
+            {"n": n, "dim": dim, "wave": config.wave_size, "compression": "sq4",
+             "sim": str(sim.value)},
+        )
+    def _fit_sq():
+        rng = np.random.default_rng(seed)
+        k = min(training_sample, n)
+        sample_rows = np.sort(rng.choice(n, k, replace=False))
+        chunks = []
+        step = 262_144
+        for a in range(0, n, step):
+            in_chunk = sample_rows[(sample_rows >= a) & (sample_rows < a + step)]
+            if len(in_chunk):
+                blk = load(a, min(a + step, n))
+                chunks.append(np.asarray(blk)[in_chunk - a])
+        return ScalarQuantization4.compute(np.concatenate(chunks, axis=0))
+
+    if ckpt is not None:
+        sq = ScalarQuantization4(
+            scale=jnp.asarray(ckpt["reader"].read("sq/scale", mmap=False)),
+            offset=jnp.asarray(ckpt["reader"].read("sq/offset", mmap=False)),
+            original_dim=int(ckpt["meta"]["sq_original_dim"]),
+        )
+    else:
+        sq = _fit_sq()
 
     from jvector_tpu.graph.builder import _fused_aligned_config
     from jvector_tpu.graph.index import bucket_capacity
@@ -293,12 +401,6 @@ def _build_on_disk_ltm_sq4(
     node_w2 = jnp.zeros((n_cap,), jnp.float32)
     node_norm2 = jnp.zeros((n_cap,), jnp.float32)
     graph = empty_graph(n_cap, config)
-
-    writer = IndexFileWriter(path)
-    writer.reserve_array(
-        f"feature/{FeatureId.INLINE_VECTORS}/vectors", (n, dim), np.float32
-    )
-
     aug = jnp.zeros((n_cap, mp + 4), jnp.uint8)
 
     def make_provider(codes, node_w2, node_norm2, aug):
@@ -330,10 +432,79 @@ def _build_on_disk_ltm_sq4(
     else:
         codes = None  # aug-backed provider (one device copy of the codes)
 
-    t_wave = _time.time()
     w = config.wave_size
+    n_waves = (n + w - 1) // w
     seeds = _EntrySeedSampler(n, w, config.build_entry_seeds)
+    waves_done = 0
+    if ckpt is not None and (
+        int(ckpt["meta"]["n_cap"]) != n_cap
+        or int(ckpt["meta"]["row_cap"]) != config.row_cap
+        or bool(ckpt["meta"]["fused"]) != fused_build
+    ):
+        log.warning("checkpoint %s: layout mismatch, rebuilding", ckpt_file)
+        ckpt, sq = None, _fit_sq()
+    if ckpt is not None:
+        r = ckpt["reader"]
+        graph = graph._replace(
+            layers=(
+                graph.base._replace(
+                    neighbors=_upload_chunked(r.read("graph/L0/neighbors")),
+                    scores=_upload_chunked(r.read("graph/L0/scores")),
+                    counts=_upload_chunked(r.read("graph/L0/counts")),
+                ),
+            ),
+            entry_node=jnp.int32(int(ckpt["meta"]["entry_node"])),
+            num_nodes=jnp.int32(int(ckpt["meta"]["num_nodes"])),
+        )
+        aug = _upload_chunked(r.read("state/aug"))
+        node_w2 = _upload_chunked(r.read("state/node_w2"))
+        node_norm2 = _upload_chunked(r.read("state/node_norm2"))
+        if fused_build:
+            codes = _upload_chunked(r.read("state/codes"))
+            fused_packed = _upload_chunked(r.read("state/fused_packed"))
+            fused_w2 = _upload_chunked(r.read("state/fused_w2"))
+        seeds.load_state_dict(ckpt["seeds_state"])
+        waves_done = int(ckpt["meta"]["waves_done"])
+        writer = IndexFileWriter.resume(path, ckpt["meta"]["writer_state"])
+        log.info("resuming ltm build at wave %d/%d", waves_done, n_waves)
+    else:
+        writer = IndexFileWriter(path)
+        writer.reserve_array(
+            f"feature/{FeatureId.INLINE_VECTORS}/vectors", (n, dim), np.float32
+        )
+
+    def _checkpoint(wi_done: int) -> None:
+        jax.block_until_ready(graph.base.neighbors)
+        arrs = {
+            "graph/L0/neighbors": (graph.base.neighbors, np.int32),
+            "graph/L0/scores": (graph.base.scores, np.float32),
+            "graph/L0/counts": (graph.base.counts, np.int32),
+            "state/aug": (aug, np.uint8),
+            "state/node_w2": (node_w2, np.float32),
+            "state/node_norm2": (node_norm2, np.float32),
+            "sq/scale": (sq.scale, np.float32),
+            "sq/offset": (sq.offset, np.float32),
+        }
+        if fused_build:
+            arrs["state/codes"] = (codes, np.uint8)
+            arrs["state/fused_packed"] = (fused_packed, np.uint8)
+            arrs["state/fused_w2"] = (fused_w2, np.float32)
+        _ckpt_save(
+            ckpt_file, writer, seeds, wi_done, arrs,
+            dict(
+                n=n, dim=dim, wave=w, compression="sq4", sim=str(sim.value),
+                n_cap=n_cap, row_cap=config.row_cap, fused=fused_build,
+                entry_node=int(graph.entry_node),
+                num_nodes=int(graph.num_nodes),
+                sq_original_dim=sq.original_dim,
+            ),
+        )
+        log.info("ltm checkpoint at wave %d/%d", wi_done, n_waves)
+
+    t_wave = _time.time()
     for wi, start in enumerate(_shuffled_wave_starts(n, w)):
+        if wi < waves_done:
+            continue  # resumed: state already reflects these waves
         if wi and wi % 256 == 0:
             # bounded sync: surfaces async device faults at an attributable
             # wave instead of at save time, and keeps the dispatch queue short
@@ -392,6 +563,12 @@ def _build_on_disk_ltm_sq4(
                 seed_ids=seed_dev,
             )
         seeds.record(ids)
+        if (
+            checkpoint_every
+            and (wi + 1) % checkpoint_every == 0
+            and (wi + 1) < n_waves
+        ):
+            _checkpoint(wi + 1)
 
     provider = make_provider(codes, node_w2, node_norm2, aug)
     jax.block_until_ready(graph.base.neighbors)
@@ -469,4 +646,6 @@ def _build_on_disk_ltm_sq4(
         ltm=True,
     )
     writer.close()
+    if checkpoint_every and os.path.exists(ckpt_file):
+        os.remove(ckpt_file)  # the committed index supersedes the checkpoint
     return graph, provider

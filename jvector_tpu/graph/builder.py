@@ -306,6 +306,19 @@ class _EntrySeedSampler:
         self.inserted[self.n_ins : self.n_ins + valid.size] = valid
         self.n_ins += valid.size
 
+    def state_dict(self) -> dict:
+        """Checkpointable state (LTM build resume): RNG + inserted prefix."""
+        return {
+            "rng_state": self.rng.bit_generator.state,
+            "inserted": self.inserted[: self.n_ins].copy(),
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        self.rng.bit_generator.state = state["rng_state"]
+        ins = np.asarray(state["inserted"], np.int32)
+        self.inserted[: ins.size] = ins
+        self.n_ins = int(ins.size)
+
 
 def _sample_entry_seeds(
     rng: np.random.Generator,
