@@ -218,7 +218,7 @@ def build_on_disk_ltm(
     :class:`jvector_tpu.disk.host_graph.HostGraphIndex` with bounded
     device memory — the full 100M larger-than-memory pipeline.
 
-    ``checkpoint_every`` (waves; 0 = off, sq4 only) periodically persists
+    ``checkpoint_every`` (waves; 0 = off) periodically persists
     the full build state to ``path + ".ckpt"``; re-running the same call
     resumes at the last checkpoint — multi-hour stream builds survive
     process or device loss.  Resumed builds are bit-identical to
@@ -232,11 +232,22 @@ def build_on_disk_ltm(
             path, load, n, dim, config, sim, training_sample, seed, capacity,
             checkpoint_every,
         )
+
+    import logging
+
+    log = logging.getLogger(__name__)
+    path = str(path)
+    ckpt_file = path + ".ckpt"
+    ckpt = None
     if checkpoint_every:
-        raise ValueError("checkpoint_every is only supported for compression='sq4'")
+        ckpt = _ckpt_load(
+            ckpt_file,
+            {"n": n, "dim": dim, "wave": config.wave_size, "compression": "pq",
+             "sim": str(sim.value)},
+        )
 
     # ---- phase A: PQ training on a sample --------------------------------
-    if pq is None:
+    def _fit_pq():
         rng = np.random.default_rng(seed)
         k = min(training_sample, n)
         sample_rows = np.sort(rng.choice(n, k, replace=False))
@@ -249,26 +260,92 @@ def build_on_disk_ltm(
                 blk = load(a, min(a + step, n))
                 chunks.append(blk[in_chunk - a])
         sample = np.concatenate(chunks, axis=0)
-        pq = ProductQuantization.compute(
+        return ProductQuantization.compute(
             sample, m=pq_m or max(4, dim // 8), clusters=256, seed=seed
         )
+
+    pq_arg = pq
+    if ckpt is not None:
+        r = ckpt["reader"]
+        pq = ProductQuantization(
+            codebooks=jnp.asarray(r.read("pq/codebooks", mmap=False)),
+            center=(
+                jnp.asarray(r.read("pq/center", mmap=False))
+                if r.has_array("pq/center")
+                else None
+            ),
+            original_dim=int(ckpt["meta"]["pq_original_dim"]),
+        )
+    elif pq is None:
+        pq = _fit_pq()
 
     from jvector_tpu.graph.index import bucket_capacity
 
     n_cap = capacity if capacity else bucket_capacity(n)
     n_cap = max(-(-n_cap // 1024) * 1024, -(-n // 1024) * 1024)
+    if ckpt is not None and int(ckpt["meta"]["n_cap"]) != n_cap:
+        log.warning("checkpoint %s: layout mismatch, rebuilding", ckpt_file)
+        ckpt = None
+        pq = pq_arg if pq_arg is not None else _fit_pq()
     codes = jnp.zeros((n_cap, pq.m), jnp.uint8)
     graph = empty_graph(n_cap, config)
 
-    writer = IndexFileWriter(path)
-    writer.reserve_array(f"feature/{FeatureId.INLINE_VECTORS}/vectors", (n, dim), np.float32)
+    w = config.wave_size
+    n_waves = (n + w - 1) // w
+    seeds = _EntrySeedSampler(n, w, config.build_entry_seeds)
+    waves_done = 0
+    if ckpt is not None:
+        r = ckpt["reader"]
+        codes = _upload_chunked(r.read("state/codes"))
+        graph = graph._replace(
+            layers=(
+                graph.base._replace(
+                    neighbors=_upload_chunked(r.read("graph/L0/neighbors")),
+                    scores=_upload_chunked(r.read("graph/L0/scores")),
+                    counts=_upload_chunked(r.read("graph/L0/counts")),
+                ),
+            ),
+            entry_node=jnp.int32(int(ckpt["meta"]["entry_node"])),
+            num_nodes=jnp.int32(int(ckpt["meta"]["num_nodes"])),
+        )
+        seeds.load_state_dict(ckpt["seeds_state"])
+        waves_done = int(ckpt["meta"]["waves_done"])
+        writer = IndexFileWriter.resume(path, ckpt["meta"]["writer_state"])
+        log.info("resuming ltm build at wave %d/%d", waves_done, n_waves)
+    else:
+        writer = IndexFileWriter(path)
+        writer.reserve_array(
+            f"feature/{FeatureId.INLINE_VECTORS}/vectors", (n, dim), np.float32
+        )
+
+    def _checkpoint(wi_done: int) -> None:
+        jax.block_until_ready(graph.base.neighbors)
+        arrs = {
+            "graph/L0/neighbors": (graph.base.neighbors, np.int32),
+            "graph/L0/scores": (graph.base.scores, np.float32),
+            "graph/L0/counts": (graph.base.counts, np.int32),
+            "state/codes": (codes, np.uint8),
+            "pq/codebooks": (pq.codebooks, np.float32),
+        }
+        if pq.center is not None:
+            arrs["pq/center"] = (pq.center, np.float32)
+        _ckpt_save(
+            ckpt_file, writer, seeds, wi_done, arrs,
+            dict(
+                n=n, dim=dim, wave=w, compression="pq", sim=str(sim.value),
+                n_cap=n_cap, entry_node=int(graph.entry_node),
+                num_nodes=int(graph.num_nodes),
+                pq_original_dim=pq.original_dim,
+            ),
+        )
+        log.info("ltm checkpoint at wave %d/%d", wi_done, n_waves)
 
     # ---- phase B: stream waves (shuffled order, see
     # graph.builder._shuffled_wave_starts — the loader only ever sees
     # contiguous chunk reads, and the inline vector writes are positional)
-    w = config.wave_size
-    seeds = _EntrySeedSampler(n, w, config.build_entry_seeds)
-    for start in _shuffled_wave_starts(n, w):
+    for wi, start in enumerate(_shuffled_wave_starts(n, w)):
+        if wi < waves_done:
+            continue  # resumed: state already reflects these waves
         stop = min(start + w, n)
         wave_np = np.asarray(load(start, stop), np.float32)
         # full-res vectors go to disk NOW (never all in memory)
@@ -293,6 +370,12 @@ def build_on_disk_ltm(
             seed_ids=seeds.sample(),
         )
         seeds.record(ids)
+        if (
+            checkpoint_every
+            and (wi + 1) % checkpoint_every == 0
+            and (wi + 1) < n_waves
+        ):
+            _checkpoint(wi + 1)
 
     # ---- phase C: cleanup + persist graph ---------------------------------
     provider = ADCScoreProvider(
@@ -326,6 +409,8 @@ def build_on_disk_ltm(
         ltm=True,
     )
     writer.close()
+    if checkpoint_every and os.path.exists(ckpt_file):
+        os.remove(ckpt_file)  # the committed index supersedes the checkpoint
     return graph, provider
 
 

@@ -88,6 +88,31 @@ def test_resume_bit_identical(tmp_path, corpus, monkeypatch, fused):
     np.testing.assert_array_equal(vecs, corpus)
 
 
+def test_resume_bit_identical_pq(tmp_path, corpus):
+    cfg = GraphConfig(max_degree=16, ef_construction=40, wave_size=256)
+
+    def build(p, loader=None):
+        return build_on_disk_ltm(
+            str(p), loader if loader is not None else corpus, n=N, dim=D,
+            config=cfg, compression="pq", pq_m=8, checkpoint_every=2,
+        )
+
+    ref, _ = build(tmp_path / "clean.jvtpu")
+    p = tmp_path / "crashy.jvtpu"
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        build(p, loader=_FailingLoader(corpus, fail_after=5))
+    assert (tmp_path / "crashy.jvtpu.ckpt").exists()
+    resumed, _ = build(p)
+    assert not (tmp_path / "crashy.jvtpu.ckpt").exists()
+    np.testing.assert_array_equal(
+        np.asarray(resumed.base.neighbors), np.asarray(ref.base.neighbors)
+    )
+    idx = load_index(str(p))
+    np.testing.assert_array_equal(
+        idx.reader.read("feature/inline_vectors/vectors", mmap=False), corpus
+    )
+
+
 def test_mismatched_checkpoint_rebuilds(tmp_path, corpus):
     p = tmp_path / "x.jvtpu"
     with pytest.raises(RuntimeError):
