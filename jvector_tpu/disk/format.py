@@ -152,8 +152,18 @@ class IndexFileWriter:
 
         Truncates past ``file_size`` — bytes appended after the snapshot
         (e.g. a crash mid-save) are discarded; positional row writes inside
-        reserved extents are idempotent and need no rollback.
+        reserved extents are idempotent and need no rollback.  A file that
+        SHRANK below the snapshot size is rejected (zero-extending it would
+        silently blank committed rows), as is a missing file.
         """
+        if not os.path.exists(path):
+            raise ValueError(f"{path}: missing (cannot resume a deleted file)")
+        if os.path.getsize(path) < state["file_size"]:
+            raise ValueError(
+                f"{path}: shorter than the snapshot "
+                f"({os.path.getsize(path)} < {state['file_size']} bytes); "
+                "refusing to zero-extend"
+            )
         w = cls.__new__(cls)
         w.path = str(path)
         w._f = open(w.path, "rb+")

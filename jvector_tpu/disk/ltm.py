@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+from functools import partial as _partial
 from typing import Callable, Iterator
 
 import jax
@@ -58,28 +59,37 @@ def _add_array_chunked(
         writer.write_rows(name, a, np.asarray(arr[a : a + chunk], dt))
 
 
+@_partial(jax.jit, donate_argnums=(0,))
+def _patch_rows(dst: jax.Array, chunk: jax.Array, start) -> jax.Array:
+    return jax.lax.dynamic_update_slice_in_dim(dst, chunk, start, axis=0)
+
+
 def _upload_chunked(arr: np.ndarray, max_bytes: int = 512 << 20) -> jax.Array:
     """Host→device upload in bounded row chunks (tunnel-safe mirror of
-    :func:`_add_array_chunked`; multi-GB single transfers are the risk)."""
+    :func:`_add_array_chunked`; multi-GB single transfers are the risk).
+
+    The destination is allocated once and patched in place per chunk
+    (donated jit) — peak device memory is the array + ONE chunk.  A
+    ``concatenate`` of all chunks would transiently hold 2x the array,
+    which at 10M (neighbors+scores ~10 GB physical) is the difference
+    between a resume fitting HBM and an OOM in the exact crash-recovery
+    scenario the checkpoint exists for.
+    """
     row_bytes = max(1, int(np.prod(arr.shape[1:]))) * arr.dtype.itemsize
     chunk = max(1, max_bytes // row_bytes)
     if arr.ndim == 0 or arr.shape[0] <= chunk:
         return jnp.asarray(np.ascontiguousarray(arr))
-    parts = [
-        jax.device_put(np.ascontiguousarray(arr[a : a + chunk]))
-        for a in range(0, arr.shape[0], chunk)
-    ]
-    return jnp.concatenate(parts, axis=0)
+    dst = jnp.zeros(arr.shape, arr.dtype)
+    for a in range(0, arr.shape[0], chunk):
+        part = jax.device_put(np.ascontiguousarray(arr[a : a + chunk]))
+        dst = _patch_rows(dst, part, jnp.int32(a))
+    return dst
 
 
 # device-memory budget for the incremental fused table during LTM builds;
 # past it the build falls back to plain augmented-row searches (the 100M
 # regime).  Module-level so tests can force the non-fused path at small n.
 _FUSED_BUILD_BUDGET = 6 << 30
-
-
-
-from functools import partial as _partial
 
 
 @_partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("cosine",))
@@ -140,32 +150,81 @@ def _ckpt_save(
     os.replace(tmp, path)
 
 
-def _ckpt_load(path: str, expect_meta: dict) -> dict | None:
-    """Load a checkpoint if present, valid, and built with matching knobs."""
+def _config_knobs(config) -> dict:
+    """The GraphConfig knobs that shape build state/behavior.
+
+    Baked into every checkpoint and validated on resume: resuming under
+    different knobs would splice two differently-built halves together
+    (and desynchronize the entry-seed RNG), silently breaking the
+    documented bit-identical guarantee.
+    """
+    return {
+        "wave": config.wave_size,
+        "max_degree": config.max_degree,
+        "ef_construction": config.ef_construction,
+        "neighbor_overflow": config.neighbor_overflow,
+        "alpha": config.alpha,
+        "build_expand": config.build_expand,
+        "build_entry_seeds": config.build_entry_seeds,
+    }
+
+
+def _ckpt_load(path: str, index_path: str, expect_meta: dict) -> dict | None:
+    """Load a checkpoint if present, valid, and built with matching knobs.
+
+    Any defect — torn file, missing blobs, knob mismatch, a missing or
+    shrunken partial index file, or an index that is already COMMITTED
+    (valid footer: the checkpoint is stale and resuming would destroy a
+    good index) — logs a warning and returns ``None``: the caller
+    rebuilds from scratch.  Resume must never be less safe than rebuild.
+    """
     import json as _json
     import logging
 
+    log = logging.getLogger(__name__)
     if not os.path.exists(path):
         return None
-    try:
-        from jvector_tpu.disk.format import IndexFileReader
+    from jvector_tpu.disk.format import IndexFileReader
 
-        r = IndexFileReader(path)
-    except Exception as e:  # torn/corrupt checkpoint: rebuild from scratch
-        logging.getLogger(__name__).warning("ignoring bad checkpoint %s: %s", path, e)
-        return None
-    for k, v in expect_meta.items():
-        if r.meta.get(k) != v:
-            logging.getLogger(__name__).warning(
-                "ignoring checkpoint %s: %s=%r != %r", path, k, r.meta.get(k), v
+    try:
+        r = IndexFileReader(index_path)
+        if r.meta:  # committed index at the output path: checkpoint is stale
+            log.warning(
+                "ignoring checkpoint %s: %s is already a committed index",
+                path, index_path,
             )
             return None
-    out = {"meta": r.meta, "reader": r}
-    out["seeds_state"] = {
-        "rng_state": _json.loads(r.meta["rng_state"]),
-        "inserted": r.read("seeds/inserted", mmap=False),
-    }
-    return out
+    except Exception:
+        pass  # no/partial index file — the normal mid-build state
+    try:
+        r = IndexFileReader(path)
+        for k, v in expect_meta.items():
+            if r.meta.get(k) != v:
+                log.warning(
+                    "ignoring checkpoint %s: %s=%r != %r", path, k, r.meta.get(k), v
+                )
+                return None
+        ws = r.meta["writer_state"]
+        if (
+            not os.path.exists(index_path)
+            or os.path.getsize(index_path) < ws["file_size"]
+        ):
+            log.warning(
+                "ignoring checkpoint %s: partial index %s missing or shorter "
+                "than the checkpointed size", path, index_path,
+            )
+            return None
+        return {
+            "meta": r.meta,
+            "reader": r,
+            "seeds_state": {
+                "rng_state": _json.loads(r.meta["rng_state"]),
+                "inserted": r.read("seeds/inserted", mmap=False),
+            },
+        }
+    except Exception as e:  # torn/corrupt/foreign checkpoint: rebuild
+        log.warning("ignoring bad checkpoint %s: %s", path, e)
+        return None
 
 
 def _entry_by_centroid(provider, centroid, n: int, chunk: int = 1 << 20) -> int:
@@ -241,9 +300,9 @@ def build_on_disk_ltm(
     ckpt = None
     if checkpoint_every:
         ckpt = _ckpt_load(
-            ckpt_file,
-            {"n": n, "dim": dim, "wave": config.wave_size, "compression": "pq",
-             "sim": str(sim.value)},
+            ckpt_file, path,
+            {"n": n, "dim": dim, "compression": "pq", "sim": str(sim.value),
+             "seed": seed, "row_cap": config.row_cap, **_config_knobs(config)},
         )
 
     # ---- phase A: PQ training on a sample --------------------------------
@@ -287,32 +346,46 @@ def build_on_disk_ltm(
         log.warning("checkpoint %s: layout mismatch, rebuilding", ckpt_file)
         ckpt = None
         pq = pq_arg if pq_arg is not None else _fit_pq()
-    codes = jnp.zeros((n_cap, pq.m), jnp.uint8)
-    graph = empty_graph(n_cap, config)
 
     w = config.wave_size
     n_waves = (n + w - 1) // w
     seeds = _EntrySeedSampler(n, w, config.build_entry_seeds)
     waves_done = 0
     if ckpt is not None:
+        # reopen the partial file BEFORE the heavy device restore (a
+        # missing/shrunken file downgrades to a clean rebuild)
+        try:
+            writer = IndexFileWriter.resume(path, ckpt["meta"]["writer_state"])
+        except (ValueError, OSError) as e:
+            log.warning("cannot resume %s (%s); rebuilding", path, e)
+            ckpt = None
+            pq = pq_arg if pq_arg is not None else _fit_pq()
+    if ckpt is not None:
+        # restore without pre-allocating empty copies (see the sq4 path:
+        # resume must peak at steady-state build HBM, not 2x)
         r = ckpt["reader"]
+        from jvector_tpu.graph.index import GraphLayer
+
         codes = _upload_chunked(r.read("state/codes"))
-        graph = graph._replace(
+        graph = GraphIndex(
             layers=(
-                graph.base._replace(
+                GraphLayer(
                     neighbors=_upload_chunked(r.read("graph/L0/neighbors")),
                     scores=_upload_chunked(r.read("graph/L0/scores")),
                     counts=_upload_chunked(r.read("graph/L0/counts")),
                 ),
             ),
+            level_node_ids=(),
             entry_node=jnp.int32(int(ckpt["meta"]["entry_node"])),
             num_nodes=jnp.int32(int(ckpt["meta"]["num_nodes"])),
+            deleted=jnp.zeros((n_cap,), bool),
         )
         seeds.load_state_dict(ckpt["seeds_state"])
         waves_done = int(ckpt["meta"]["waves_done"])
-        writer = IndexFileWriter.resume(path, ckpt["meta"]["writer_state"])
         log.info("resuming ltm build at wave %d/%d", waves_done, n_waves)
     else:
+        codes = jnp.zeros((n_cap, pq.m), jnp.uint8)
+        graph = empty_graph(n_cap, config)
         writer = IndexFileWriter(path)
         writer.reserve_array(
             f"feature/{FeatureId.INLINE_VECTORS}/vectors", (n, dim), np.float32
@@ -332,7 +405,8 @@ def build_on_disk_ltm(
         _ckpt_save(
             ckpt_file, writer, seeds, wi_done, arrs,
             dict(
-                n=n, dim=dim, wave=w, compression="pq", sim=str(sim.value),
+                n=n, dim=dim, compression="pq", sim=str(sim.value),
+                seed=seed, row_cap=config.row_cap, **_config_knobs(config),
                 n_cap=n_cap, entry_node=int(graph.entry_node),
                 num_nodes=int(graph.num_nodes),
                 pq_original_dim=pq.original_dim,
@@ -409,8 +483,11 @@ def build_on_disk_ltm(
         ltm=True,
     )
     writer.close()
-    if checkpoint_every and os.path.exists(ckpt_file):
-        os.remove(ckpt_file)  # the committed index supersedes the checkpoint
+    # Remove even when this run had checkpoint_every=0: a stale .ckpt from an
+    # earlier crashed run must never outlive a freshly committed index (a
+    # later checkpointed run would otherwise try to resume over it).
+    if os.path.exists(ckpt_file):
+        os.remove(ckpt_file)
     return graph, provider
 
 
@@ -431,9 +508,9 @@ def _build_on_disk_ltm_sq4(
     ckpt = None
     if checkpoint_every:
         ckpt = _ckpt_load(
-            ckpt_file,
-            {"n": n, "dim": dim, "wave": config.wave_size, "compression": "sq4",
-             "sim": str(sim.value)},
+            ckpt_file, path,
+            {"n": n, "dim": dim, "compression": "sq4", "sim": str(sim.value),
+             "seed": seed, **_config_knobs(config)},
         )
     def _fit_sq():
         rng = np.random.default_rng(seed)
@@ -483,10 +560,6 @@ def _build_on_disk_ltm_sq4(
     # rows); a separate codes array duplicated 1.25 GB (padded) at 10M and
     # tipped HBM over the compile budget.  The fused path needs the real
     # array (fused table updates gather from it).
-    node_w2 = jnp.zeros((n_cap,), jnp.float32)
-    node_norm2 = jnp.zeros((n_cap,), jnp.float32)
-    graph = empty_graph(n_cap, config)
-    aug = jnp.zeros((n_cap, mp + 4), jnp.uint8)
 
     def make_provider(codes, node_w2, node_norm2, aug):
         # empty fused tables: the build scores via plain (augmented) code
@@ -510,13 +583,6 @@ def _build_on_disk_ltm_sq4(
     if fused_build:
         from jvector_tpu.graph.builder import _wave_search, _wave_update_fused
 
-        k_row = config.row_cap * mp
-        fused_packed = jnp.zeros((n_cap, k_row // 128, 128), jnp.uint8)
-        fused_w2 = jnp.zeros((n_cap, config.row_cap), jnp.float32)
-        codes = jnp.zeros((n_cap, mp), jnp.uint8)
-    else:
-        codes = None  # aug-backed provider (one device copy of the codes)
-
     w = config.wave_size
     n_waves = (n + w - 1) // w
     seeds = _EntrySeedSampler(n, w, config.build_entry_seeds)
@@ -529,17 +595,34 @@ def _build_on_disk_ltm_sq4(
         log.warning("checkpoint %s: layout mismatch, rebuilding", ckpt_file)
         ckpt, sq = None, _fit_sq()
     if ckpt is not None:
+        # reopen the partial file BEFORE the heavy device restore — a
+        # missing/shrunken file downgrades to a clean rebuild, never a
+        # zero-extended one (IndexFileWriter.resume refuses those)
+        try:
+            writer = IndexFileWriter.resume(path, ckpt["meta"]["writer_state"])
+        except (ValueError, OSError) as e:
+            log.warning("cannot resume %s (%s); rebuilding", path, e)
+            ckpt, sq = None, _fit_sq()
+    if ckpt is not None:
+        # device state comes straight from the checkpoint — nothing is
+        # pre-allocated, so resume peaks at steady-state build HBM + one
+        # upload chunk (at 10M the graph arrays alone are ~10 GB physical;
+        # a second zero-allocated copy would OOM the 16 GB chip)
         r = ckpt["reader"]
-        graph = graph._replace(
+        from jvector_tpu.graph.index import GraphLayer
+
+        graph = GraphIndex(
             layers=(
-                graph.base._replace(
+                GraphLayer(
                     neighbors=_upload_chunked(r.read("graph/L0/neighbors")),
                     scores=_upload_chunked(r.read("graph/L0/scores")),
                     counts=_upload_chunked(r.read("graph/L0/counts")),
                 ),
             ),
+            level_node_ids=(),
             entry_node=jnp.int32(int(ckpt["meta"]["entry_node"])),
             num_nodes=jnp.int32(int(ckpt["meta"]["num_nodes"])),
+            deleted=jnp.zeros((n_cap,), bool),
         )
         aug = _upload_chunked(r.read("state/aug"))
         node_w2 = _upload_chunked(r.read("state/node_w2"))
@@ -548,11 +631,23 @@ def _build_on_disk_ltm_sq4(
             codes = _upload_chunked(r.read("state/codes"))
             fused_packed = _upload_chunked(r.read("state/fused_packed"))
             fused_w2 = _upload_chunked(r.read("state/fused_w2"))
+        else:
+            codes = None
         seeds.load_state_dict(ckpt["seeds_state"])
         waves_done = int(ckpt["meta"]["waves_done"])
-        writer = IndexFileWriter.resume(path, ckpt["meta"]["writer_state"])
         log.info("resuming ltm build at wave %d/%d", waves_done, n_waves)
     else:
+        node_w2 = jnp.zeros((n_cap,), jnp.float32)
+        node_norm2 = jnp.zeros((n_cap,), jnp.float32)
+        graph = empty_graph(n_cap, config)
+        aug = jnp.zeros((n_cap, mp + 4), jnp.uint8)
+        if fused_build:
+            k_row = config.row_cap * mp
+            fused_packed = jnp.zeros((n_cap, k_row // 128, 128), jnp.uint8)
+            fused_w2 = jnp.zeros((n_cap, config.row_cap), jnp.float32)
+            codes = jnp.zeros((n_cap, mp), jnp.uint8)
+        else:
+            codes = None  # aug-backed provider (one device copy of the codes)
         writer = IndexFileWriter(path)
         writer.reserve_array(
             f"feature/{FeatureId.INLINE_VECTORS}/vectors", (n, dim), np.float32
@@ -577,7 +672,8 @@ def _build_on_disk_ltm_sq4(
         _ckpt_save(
             ckpt_file, writer, seeds, wi_done, arrs,
             dict(
-                n=n, dim=dim, wave=w, compression="sq4", sim=str(sim.value),
+                n=n, dim=dim, compression="sq4", sim=str(sim.value),
+                seed=seed, **_config_knobs(config),
                 n_cap=n_cap, row_cap=config.row_cap, fused=fused_build,
                 entry_node=int(graph.entry_node),
                 num_nodes=int(graph.num_nodes),
@@ -731,6 +827,9 @@ def _build_on_disk_ltm_sq4(
         ltm=True,
     )
     writer.close()
-    if checkpoint_every and os.path.exists(ckpt_file):
-        os.remove(ckpt_file)  # the committed index supersedes the checkpoint
+    # Remove even when this run had checkpoint_every=0: a stale .ckpt from an
+    # earlier crashed run must never outlive a freshly committed index (a
+    # later checkpointed run would otherwise try to resume over it).
+    if os.path.exists(ckpt_file):
+        os.remove(ckpt_file)
     return graph, provider

@@ -113,6 +113,65 @@ def test_resume_bit_identical_pq(tmp_path, corpus):
     )
 
 
+def test_stale_checkpoint_never_clobbers_committed_index(tmp_path, corpus):
+    """A .ckpt left behind next to a COMMITTED index must be ignored —
+    resuming over it would truncate a good index back to mid-build."""
+    import shutil
+
+    p = tmp_path / "x.jvtpu"
+    with pytest.raises(RuntimeError):
+        _build(p, corpus, loader=_FailingLoader(corpus, fail_after=5))
+    stale = (p.parent / "stale.ckpt")
+    shutil.copy(str(p) + ".ckpt", stale)
+
+    _build(p, corpus)  # commits the index, removes its own ckpt
+    committed = (tmp_path / "x.jvtpu").read_bytes()
+    shutil.copy(stale, str(p) + ".ckpt")  # simulate the stale leftover
+
+    graph, _ = _build(p, corpus)  # must REBUILD (ignore stale), not resume
+    assert int(graph.num_nodes) == N
+    idx = load_index(str(p))
+    np.testing.assert_array_equal(
+        idx.reader.read("feature/inline_vectors/vectors", mmap=False), corpus
+    )
+    assert (tmp_path / "x.jvtpu").read_bytes() == committed
+
+
+def test_checkpoint_with_deleted_index_file_rebuilds(tmp_path, corpus):
+    """Deleting the partial .jvtpu but not the .ckpt must rebuild cleanly."""
+    p = tmp_path / "x.jvtpu"
+    with pytest.raises(RuntimeError):
+        _build(p, corpus, loader=_FailingLoader(corpus, fail_after=5))
+    p.unlink()  # operator frees disk, misses the .ckpt
+    graph, _ = _build(p, corpus)
+    assert int(graph.num_nodes) == N
+    np.testing.assert_array_equal(
+        load_index(str(p)).reader.read("feature/inline_vectors/vectors", mmap=False),
+        corpus,
+    )
+
+
+def test_changed_build_knobs_rebuild_not_splice(tmp_path, corpus):
+    """Resuming under different build knobs (ef) would splice two
+    differently-built halves; it must rebuild from scratch instead."""
+    p = tmp_path / "x.jvtpu"
+    with pytest.raises(RuntimeError):
+        _build(p, corpus, loader=_FailingLoader(corpus, fail_after=5))
+    cfg2 = GraphConfig(max_degree=16, ef_construction=80, wave_size=256)
+    graph, _ = build_on_disk_ltm(
+        str(p), corpus, n=N, dim=D, config=cfg2, compression="sq4",
+        checkpoint_every=2,
+    )
+    # equal to a clean cfg2 build (proves no checkpointed waves were kept)
+    ref, _ = build_on_disk_ltm(
+        str(tmp_path / "ref.jvtpu"), corpus, n=N, dim=D, config=cfg2,
+        compression="sq4", checkpoint_every=2,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(graph.base.neighbors), np.asarray(ref.base.neighbors)
+    )
+
+
 def test_mismatched_checkpoint_rebuilds(tmp_path, corpus):
     p = tmp_path / "x.jvtpu"
     with pytest.raises(RuntimeError):
