@@ -371,6 +371,95 @@ class HostGraphIndex:
         )
 
 
+@dataclasses.dataclass
+class ShardedHostIndex:
+    """Bounded-memory serving over a sharded-LTM directory.
+
+    The 100M serve tier (BASELINE config 5): every shard is a self-
+    contained :class:`HostGraphIndex` (adjacency + fused codes memmapped,
+    O(wave x beam) HBM) built by
+    :func:`jvector_tpu.parallel.build.sharded_build_on_disk`; a query wave
+    searches each shard and the per-shard topK merge by score — the
+    reference's multi-segment search lifecycle
+    (``GraphSearcher.java:386-404``) over segment files.
+
+    Shards are searched sequentially HERE (one host); a deployment runs
+    one shard per host and merges the same per-shard ``SearchResult``s —
+    the merge is pure (ids are globalized by shard offset, scores are
+    exact after the default per-shard rerank, hence comparable without a
+    shared quantizer).
+    """
+
+    shards: list[HostGraphIndex]
+    offsets: list[int]  # global ordinal of each shard's local node 0
+    n_total: int
+
+    @staticmethod
+    def load(directory) -> "ShardedHostIndex":
+        import json
+        import os
+
+        directory = os.fspath(directory)
+        with open(os.path.join(directory, "manifest.json")) as f:
+            man = json.load(f)
+        shards = [
+            HostGraphIndex.load(os.path.join(directory, fname))
+            for fname in man["shards"]
+        ]
+        offsets = [s * man["n_local"] for s in range(man["n_shards"])]
+        return ShardedHostIndex(
+            shards=shards, offsets=offsets, n_total=man["n_total"]
+        )
+
+    def search(
+        self,
+        queries: jax.Array,
+        top_k: int,
+        beam_width: int = 64,
+        expand: int = 4,
+        max_iters: int = 200,
+        rerank=None,  # forwarded per shard (None = each shard's inline store)
+        pipeline: int = 2,
+    ) -> SearchResult:
+        """Search every shard, globalize ids, merge the topK by score."""
+        per = [
+            hg.search(
+                queries,
+                top_k=top_k,
+                beam_width=beam_width,
+                expand=expand,
+                max_iters=max_iters,
+                rerank=rerank,
+                pipeline=pipeline,
+            )
+            for hg in self.shards
+        ]
+        ids = jnp.concatenate(
+            [
+                jnp.where(r.ids >= 0, r.ids + off, -1)
+                for r, off in zip(per, self.offsets)
+            ],
+            axis=1,
+        )
+        scores = jnp.concatenate([r.scores for r in per], axis=1)
+        approx = jnp.concatenate(
+            [
+                r.approx_scores if r.approx_scores is not None else r.scores
+                for r in per
+            ],
+            axis=1,
+        )
+        order = jnp.argsort(-scores, axis=1)[:, :top_k]
+        return SearchResult(
+            ids=jnp.take_along_axis(ids, order, axis=1),
+            scores=jnp.take_along_axis(scores, order, axis=1),
+            visited_count=sum(r.visited_count for r in per),
+            expanded_count=sum(r.expanded_count for r in per),
+            reranked_count=sum(r.reranked_count for r in per),
+            approx_scores=jnp.take_along_axis(approx, order, axis=1),
+        )
+
+
 def write_sq4_index(path, graph, sq, codes_packed, provider, sim, **extra_features):
     """Persist a graph + fused-SQ4 feature for host-tier serving.
 

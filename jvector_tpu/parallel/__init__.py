@@ -18,6 +18,7 @@ from jvector_tpu.parallel.build import (
     ShardedIndex,
     sharded_build,
     sharded_graph_search,
+    sharded_build_on_disk,
     save_sharded,
     load_sharded,
 )
@@ -31,6 +32,7 @@ __all__ = [
     "ShardedIndex",
     "sharded_build",
     "sharded_graph_search",
+    "sharded_build_on_disk",
     "save_sharded",
     "load_sharded",
 ]

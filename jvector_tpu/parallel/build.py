@@ -508,6 +508,101 @@ def save_sharded(index: ShardedIndex, directory: str | os.PathLike) -> None:
         )
 
 
+def sharded_build_on_disk(
+    directory: str | os.PathLike,
+    vectors: "np.ndarray | object",
+    n: int,
+    dim: int,
+    shards: int,
+    config: GraphConfig | None = None,
+    sim: SimilarityFunction | str = SimilarityFunction.EUCLIDEAN,
+    training_sample: int = 65_536,
+    seed: int = 0,
+    checkpoint_every: int = 0,
+) -> dict:
+    """Stream-build one LARGER-THAN-MEMORY shard container per partition.
+
+    The 100M pipeline end to end (BASELINE config 5): the corpus is block-
+    partitioned into ``shards`` contiguous ranges; each range is built with
+    :func:`jvector_tpu.disk.ltm.build_on_disk_ltm` (SQ4 working set on
+    device, full-res vectors streamed to the shard file, optional
+    wave-level ``checkpoint_every``) into ``shard%04d.jvtpu`` + a manifest
+    compatible with :func:`load_sharded` (device serving) and
+    ``ShardedHostIndex.load`` (bounded-memory host serving).
+
+    On one chip the shards build SEQUENTIALLY (this loop); on a pod each
+    host runs its own shard — the builds are fully independent (disjoint
+    node ranges, zero cross-shard traffic), so wall-clock scales linearly
+    with hosts exactly like the in-memory :func:`sharded_build`.
+
+    Restartable at TWO levels: shards whose containers are already
+    committed (valid footer) are skipped, and the in-progress shard
+    resumes from its own wave checkpoint.
+
+    Unlike :func:`sharded_build` (global quantizer), each shard trains its
+    own quantizer on its range — shard files stay self-contained.  Merged
+    serving reranks EXACT by default (inline vectors ride every shard
+    file), so cross-shard score comparability never depends on a shared
+    codebook; first-pass-only merges inherit the per-shard-bias caveat of
+    ``graph/multi.py``'s ``floor_slack``.
+
+    ``vectors`` is an array or a chunk loader ``f(start, stop)``.
+    Returns the manifest dict.
+    """
+    from jvector_tpu.disk.format import IndexFileReader
+    from jvector_tpu.disk.ltm import build_on_disk_ltm
+    from jvector_tpu.graph.index import bucket_capacity
+
+    sim = SimilarityFunction.parse(sim)
+    config = config or GraphConfig()
+    directory = os.fspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    load = (
+        (lambda a, b: vectors[a:b]) if isinstance(vectors, np.ndarray) else vectors
+    )
+    n_local = -(-n // shards)
+    # one capacity for every shard (incl. the ragged last): equal-shaped
+    # containers stack cleanly in load_sharded and share compile buckets
+    cap = bucket_capacity(n_local)
+    files = []
+    for s in range(shards):
+        a, b = s * n_local, min((s + 1) * n_local, n)
+        fname = f"shard{s:04d}.jvtpu"
+        fpath = os.path.join(directory, fname)
+        files.append(fname)
+        try:
+            if IndexFileReader(fpath).meta.get("ltm"):
+                continue  # committed in a previous run
+        except Exception:
+            pass
+        build_on_disk_ltm(
+            fpath,
+            lambda i, j, a=a: load(a + i, a + j),
+            n=b - a,
+            dim=dim,
+            config=config,
+            sim=sim,
+            training_sample=training_sample,
+            seed=seed + s,  # independent quantizer sample per shard range
+            compression="sq4",
+            capacity=cap,
+            checkpoint_every=checkpoint_every,
+        )
+    manifest = {
+        "version": 1,
+        "n_shards": shards,
+        "n_local": n_local,
+        "n_total": n,
+        "similarity": str(sim.value),
+        "sq4": True,
+        "ltm": True,
+        "shards": files,
+    }
+    with open(os.path.join(directory, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
 def load_sharded(
     directory: str | os.PathLike, mesh: Mesh, axis: str = "shard"
 ) -> ShardedIndex:

@@ -1,0 +1,97 @@
+"""Sharded larger-than-memory pipeline: per-shard stream builds on disk +
+merged bounded-memory host serving (the 100M / BASELINE config-5 shape).
+
+Reference contract: one on-disk segment per partition + the multi-segment
+search lifecycle (``GraphSearcher.java:386-404``, Grid/compaction reopening
+segments independently).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from jvector_tpu.disk.host_graph import ShardedHostIndex
+from jvector_tpu.graph import GraphConfig
+from jvector_tpu.parallel import load_sharded, make_mesh, sharded_build_on_disk
+from jvector_tpu.util.datasets import recall_at_k, synthetic_dataset
+
+N, D, SHARDS = 4096, 32, 2
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return synthetic_dataset(n=N, dim=D, n_queries=48, k=10, seed=23)
+
+
+@pytest.fixture(scope="module")
+def built(ds, tmp_path_factory):
+    d = tmp_path_factory.mktemp("shltm")
+    cfg = GraphConfig(max_degree=16, ef_construction=48, wave_size=256)
+    man = sharded_build_on_disk(
+        d, np.asarray(ds.base), n=N, dim=D, shards=SHARDS, config=cfg,
+        sim=ds.similarity,
+    )
+    return d, man, cfg
+
+
+def test_manifest_and_shard_files(built):
+    d, man, _ = built
+    assert man["n_shards"] == SHARDS and man["n_total"] == N and man["ltm"]
+    for fname in man["shards"]:
+        assert (d / fname).exists()
+
+
+def test_merged_host_serving_recall(ds, built):
+    d, _, _ = built
+    sh = ShardedHostIndex.load(d)
+    assert sh.n_total == N and len(sh.shards) == SHARDS
+    res = sh.search(jnp.asarray(ds.queries), top_k=10, beam_width=48, expand=2)
+    ids = np.asarray(res.ids)
+    r = recall_at_k(ids, ds.ground_truth, 10)
+    assert r >= 0.9, f"sharded host-tier recall {r}"
+    # global id space + merged scores sorted desc
+    assert ids.max() < N
+    s = np.asarray(res.scores)
+    assert (np.diff(s, axis=1) <= 1e-6).all()
+    # both shards contribute (queries are spread over the whole corpus)
+    n_local = -(-N // SHARDS)
+    assert (ids[ids >= 0] < n_local).any() and (ids >= n_local).any()
+
+
+def test_committed_shards_skipped_on_rerun(ds, built):
+    """Re-running the sharded build must rebuild ONLY missing shards —
+    shard-level restartability on top of the wave-level checkpoint."""
+    d, man, cfg = built
+    (d / man["shards"][1]).unlink()  # lose shard 1, keep shard 0
+
+    touched = []
+
+    def loader(a, b):
+        touched.append((a, b))
+        return np.asarray(ds.base)[a:b]
+
+    sharded_build_on_disk(
+        d, loader, n=N, dim=D, shards=SHARDS, config=cfg, sim=ds.similarity
+    )
+    n_local = -(-N // SHARDS)
+    assert touched, "missing shard must be rebuilt"
+    assert all(a >= n_local for a, _ in touched), (
+        "committed shard 0's range must not be re-read"
+    )
+    res = ShardedHostIndex.load(d).search(
+        jnp.asarray(ds.queries), top_k=10, beam_width=48, expand=2
+    )
+    r = recall_at_k(np.asarray(res.ids), ds.ground_truth, 10)
+    assert r >= 0.9
+
+
+def test_ltm_shards_load_onto_mesh(built):
+    """The same shard containers restack onto a device mesh (load_sharded):
+    one artifact serves both the host tier and the ICI-sharded tier."""
+    d, _, _ = built
+    mesh = make_mesh(2, "shard")
+    idx = load_sharded(d, mesh)
+    assert idx.n_shards == SHARDS and idx.n_total == N
+    counts = np.asarray(idx.graphs.layers[0].counts)
+    assert (counts.sum(axis=1) > 0).all()
