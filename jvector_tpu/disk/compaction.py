@@ -62,6 +62,21 @@ class CompactionSource:
         live &= ~np.asarray(self.graph.deleted[:n])
         return np.where(live)[0].astype(np.int32)
 
+    @classmethod
+    def from_index_file(cls, path, live=None) -> "CompactionSource":
+        """Open a saved segment (e.g. one `sharded_build_on_disk` shard) as
+        a compaction input: graph arrays on device, full-res vectors left
+        as a HOST memmap (the PQ-sidecar mode streams them wave-by-wave —
+        the reference compactor's segment-file lifecycle,
+        ``OnDiskGraphIndexCompactor.java:54+``)."""
+        from jvector_tpu.disk.format import FeatureId, load_index
+
+        idx = load_index(path)
+        vectors = idx.reader.read(
+            f"feature/{FeatureId.INLINE_VECTORS}/vectors", mmap=True
+        )
+        return cls(graph=idx.graph_to_device(), vectors=vectors, live=live)
+
 
 def retrain_pq(
     sources: list[CompactionSource],

@@ -293,7 +293,10 @@ class OnDiskIndex:
     def features(self) -> list[str]:
         return self.meta.get("features", [])
 
-    def to_device(self):
+    def graph_to_device(self):
+        """Upload ONLY the graph arrays (no features) — segment-lifecycle
+        consumers (compaction sources) keep the big feature payloads on
+        host and stream them."""
         import jax.numpy as jnp
 
         from jvector_tpu.graph.index import NEG_INF, GraphIndex, GraphLayer
@@ -320,13 +323,19 @@ class OnDiskIndex:
             deleted = jnp.asarray(np.asarray(r.read("graph/deleted")))
         else:
             deleted = jnp.zeros((n_cap,), bool)
-        graph = GraphIndex(
+        return GraphIndex(
             layers=tuple(layers),
             level_node_ids=tuple(level_ids),
             entry_node=jnp.int32(self.meta["entry_node"]),
             num_nodes=jnp.int32(self.meta["num_nodes"]),
             deleted=deleted,
         )
+
+    def to_device(self):
+        import jax.numpy as jnp
+
+        graph = self.graph_to_device()
+        r = self.reader
         feats = {}
         for name in self.features:
             feats[name] = {

@@ -86,6 +86,31 @@ def test_committed_shards_skipped_on_rerun(ds, built):
     assert r >= 0.9
 
 
+def test_shards_compact_to_one_index(ds, built):
+    """Full segment lifecycle: sharded stream builds -> compaction into ONE
+    container-servable graph (the reference's Cassandra story:
+    per-memtable segments merged by OnDiskGraphIndexCompactor)."""
+    from jvector_tpu.disk import CompactionSource, compact_indexes
+    from jvector_tpu.graph import search
+
+    d, man, cfg = built
+    sources = [
+        CompactionSource.from_index_file(d / fname) for fname in man["shards"]
+    ]
+    merged, provider, mappers = compact_indexes(sources, cfg, ds.similarity)
+    assert int(merged.num_nodes) == N
+
+    res = search(merged, provider, jnp.asarray(ds.queries), top_k=10, beam_width=48)
+    n_local = -(-N // SHARDS)
+    new_of_old = np.full(N, -1, np.int32)
+    for s, m in enumerate(mappers):
+        a = s * n_local
+        new_of_old[a : a + m.shape[0]] = m
+    gt_new = new_of_old[np.asarray(ds.ground_truth)[:, :10]]
+    r = recall_at_k(np.asarray(res.ids), gt_new, 10)
+    assert r >= 0.9, f"compacted-from-shards recall {r}"
+
+
 def test_ltm_shards_load_onto_mesh(built):
     """The same shard containers restack onto a device mesh (load_sharded):
     one artifact serves both the host tier and the ICI-sharded tier."""
