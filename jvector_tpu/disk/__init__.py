@@ -24,6 +24,9 @@ from jvector_tpu.disk.format import (
     OnDiskIndex,
 )
 from jvector_tpu.disk.compaction import CompactionSource, compact_indexes
+from jvector_tpu.disk.host_graph import HostGraphIndex, ShardedHostIndex
+from jvector_tpu.disk.host_tier import HostVectorStore
+from jvector_tpu.disk.ltm import build_on_disk_ltm
 
 __all__ = [
     "FeatureId",
@@ -34,4 +37,8 @@ __all__ = [
     "OnDiskIndex",
     "CompactionSource",
     "compact_indexes",
+    "HostGraphIndex",
+    "ShardedHostIndex",
+    "HostVectorStore",
+    "build_on_disk_ltm",
 ]
