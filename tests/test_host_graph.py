@@ -105,3 +105,38 @@ def test_host_graph_default_two_pass_rerank(saved):
     assert r_two >= r_one - 1e-9  # rerank never loses recall
     assert int(jnp.max(res.reranked_count)) > 0
     assert int(jnp.max(res1.reranked_count)) == 0
+
+
+def _filtered_gt(base, queries, mask, k):
+    sub = np.where(mask)[0]
+    d = (
+        np.sum(queries**2, axis=1)[:, None]
+        - 2.0 * queries @ base[sub].T
+        + np.sum(base[sub] ** 2, axis=1)[None, :]
+    )
+    return sub[np.argsort(d, axis=1)[:, :k]]
+
+
+@pytest.mark.parametrize("selectivity", [0.05, 0.01])
+def test_host_graph_low_cardinality_filtering(saved, selectivity):
+    """Host-tier in-loop acceptOrds: a 1-5% filter still returns a FULL
+    high-recall result set (reference TestLowCardinalityFiltering over the
+    on-disk index)."""
+    path, base, queries, gt, graph, prov, exact = saved
+    n = base.shape[0]
+    rng = np.random.default_rng(17)
+    mask = np.zeros(n, bool)
+    mask[rng.choice(n, max(int(n * selectivity), 20), replace=False)] = True
+    k = 10
+    fgt = _filtered_gt(base, queries, mask, k)
+
+    hg = HostGraphIndex.load(path)
+    res = hg.search(
+        jnp.asarray(queries), top_k=k, beam_width=40, expand=4,
+        max_iters=400, accept=mask,
+    )
+    ids = np.asarray(res.ids)
+    assert (ids >= 0).all(), f"holes at selectivity {selectivity}"
+    assert mask[ids].all(), "returned a non-accepted node"
+    r = recall_at_k(ids, fgt, k)
+    assert r >= 0.9, f"host-tier filtered recall {r} at {selectivity}"

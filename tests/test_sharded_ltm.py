@@ -86,6 +86,35 @@ def test_committed_shards_skipped_on_rerun(ds, built):
     assert r >= 0.9
 
 
+def test_sharded_host_filtered_search(ds, built):
+    """Global acceptOrds mask over the sharded host tier: 2% selectivity
+    must still return a full accepted-only result set (reference
+    TestLowCardinalityFiltering over segments)."""
+    d, _, _ = built
+    base = np.asarray(ds.base, np.float32)
+    rng = np.random.default_rng(31)
+    mask = np.zeros(N, bool)
+    mask[rng.choice(N, N // 50, replace=False)] = True
+    sub = np.where(mask)[0]
+    q = np.asarray(ds.queries, np.float32)
+    dist = (
+        np.sum(q**2, axis=1)[:, None]
+        - 2.0 * q @ base[sub].T
+        + np.sum(base[sub] ** 2, axis=1)[None, :]
+    )
+    fgt = sub[np.argsort(dist, axis=1)[:, :10]]
+
+    sh = ShardedHostIndex.load(d)
+    res = sh.search(
+        jnp.asarray(ds.queries), top_k=10, beam_width=48, expand=2,
+        max_iters=400, accept=mask,
+    )
+    ids = np.asarray(res.ids)
+    assert (ids >= 0).all() and mask[ids].all()
+    r = recall_at_k(ids, fgt, 10)
+    assert r >= 0.9, f"sharded filtered recall {r}"
+
+
 def test_shards_compact_to_one_index(ds, built):
     """Full segment lifecycle: sharded stream builds -> compaction into ONE
     container-servable graph (the reference's Cassandra story:
