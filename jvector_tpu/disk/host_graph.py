@@ -319,6 +319,7 @@ class HostGraphIndex:
         #   vectors when present) | False to force single-pass
         pipeline: int = 2,
         accept: "np.ndarray | None" = None,  # bool [N] acceptOrds mask
+        threshold: float = 0.0,  # drop results scoring below this similarity
     ) -> SearchResult:
         """Wave beam search streaming graph rows from host per iteration.
 
@@ -517,6 +518,19 @@ class HostGraphIndex:
             iters=lanes[0].state.iters,
             stale=None,
         )
+        def _apply_threshold(res: SearchResult) -> SearchResult:
+            # result contract of the reference's threshold search: results
+            # below the similarity threshold are dropped (the reference
+            # additionally early-terminates via ScoreTracker; the host loop
+            # terminates on frontier exhaustion either way)
+            if threshold <= 0.0:
+                return res
+            ok = res.scores >= threshold
+            return res._replace(
+                ids=jnp.where(ok, res.ids, -1),
+                scores=jnp.where(ok, res.scores, NEG_INF),
+            )
+
         if acc_full is not None:
             # filtered: results come from the accepted channel (already
             # sorted desc, deleted folded into the mask)
@@ -532,8 +546,10 @@ class HostGraphIndex:
                 approx_scores=scores[:, :k_out],
             )
             if rerank is not None:
-                return rerank.rerank(jnp.asarray(queries), approx, top_k)
-            return approx
+                return _apply_threshold(
+                    rerank.rerank(jnp.asarray(queries), approx, top_k)
+                )
+            return _apply_threshold(approx)
         ids, scores = state.ids, state.scores
         if self.deleted is not None and self.deleted.any():
             dead = jnp.asarray(self.deleted)[jnp.maximum(ids, 0)] & (ids >= 0)
@@ -552,11 +568,15 @@ class HostGraphIndex:
             approx_scores=out_scores,
         )
         if rerank is not None:
-            return rerank.rerank(jnp.asarray(queries), approx, top_k)
-        return approx._replace(
-            ids=approx.ids[:, :top_k],
-            scores=approx.scores[:, :top_k],
-            approx_scores=approx.scores[:, :top_k],
+            return _apply_threshold(
+                rerank.rerank(jnp.asarray(queries), approx, top_k)
+            )
+        return _apply_threshold(
+            approx._replace(
+                ids=approx.ids[:, :top_k],
+                scores=approx.scores[:, :top_k],
+                approx_scores=approx.scores[:, :top_k],
+            )
         )
 
 

@@ -140,3 +140,24 @@ def test_host_graph_low_cardinality_filtering(saved, selectivity):
     assert mask[ids].all(), "returned a non-accepted node"
     r = recall_at_k(ids, fgt, k)
     assert r >= 0.9, f"host-tier filtered recall {r} at {selectivity}"
+
+
+def test_host_graph_threshold_search(saved):
+    """Threshold-search result contract on the host tier (reference:
+    GraphSearcher.search with threshold — results below the similarity
+    threshold are dropped)."""
+    path, base, queries, gt, graph, prov, exact = saved
+    hg = HostGraphIndex.load(path)
+    store = HostVectorStore(vectors=base, sim="euclidean")
+    free = hg.search(jnp.asarray(queries), top_k=10, beam_width=40, expand=4,
+                     rerank=store)
+    thr = float(np.median(np.asarray(free.scores)))
+    res = hg.search(jnp.asarray(queries), top_k=10, beam_width=40, expand=4,
+                    rerank=store, threshold=thr)
+    ids, scores = np.asarray(res.ids), np.asarray(res.scores)
+    assert (scores[ids >= 0] >= thr).all()
+    assert (ids == -1).any()  # the median threshold must drop something
+    # surviving results match the unthresholded ones
+    fids = np.asarray(free.ids)
+    keep = np.asarray(free.scores) >= thr
+    np.testing.assert_array_equal(np.where(keep, fids, -1), ids)
