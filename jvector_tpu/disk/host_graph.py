@@ -630,6 +630,7 @@ class ShardedHostIndex:
         rerank=None,  # forwarded per shard (None = each shard's inline store)
         pipeline: int = 2,
         accept: "np.ndarray | None" = None,  # bool [n_total] GLOBAL mask
+        threshold: float = 0.0,
     ) -> SearchResult:
         """Search every shard, globalize ids, merge the topK by score.
 
@@ -655,6 +656,7 @@ class ShardedHostIndex:
                     rerank=rerank,
                     pipeline=pipeline,
                     accept=acc_s,
+                    threshold=threshold,
                 )
             )
             offs.append(off)
