@@ -38,6 +38,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from jvector_tpu.graph.index import NEG_INF, GraphIndex
 
@@ -607,6 +608,65 @@ def _search_jit(
     return (result, final) if return_state else result
 
 
+@partial(jax.jit, static_argnames=("top_k", "rerank_k", "threshold"))
+def _filtered_brute_jit(
+    graph: GraphIndex,
+    provider,
+    queries: jax.Array,
+    cand_ids: jax.Array,  # int32 [A], -1 padded accepted ordinals
+    top_k: int,
+    rerank_k: int,
+    reranker,
+    threshold: float,
+    exclude_ids: jax.Array | None,
+) -> SearchResult:
+    """Exact evaluation over a small accepted set (no graph traversal)."""
+    qstate = provider.prepare(queries)
+    Q = queries.shape[0]
+    A = cand_ids.shape[0]
+    safe = jnp.maximum(cand_ids, 0)
+    ok = (cand_ids >= 0) & ~graph.deleted[safe]
+    ids_b = jnp.broadcast_to(cand_ids[None], (Q, A))
+    sc = provider.score(qstate, jnp.broadcast_to(safe[None], (Q, A)))
+    sc = jnp.where(ok[None], sc, NEG_INF)
+    if exclude_ids is not None:
+        sc = jnp.where(
+            jnp.any(ids_b[:, :, None] == exclude_ids[:, None, :], axis=2),
+            NEG_INF,
+            sc,
+        )
+    k1 = min(rerank_k, A)
+    approx, idx = jax.lax.top_k(sc, k1)
+    pick = jnp.take_along_axis(ids_b, idx, axis=1)
+    if reranker is not None:
+        ex = reranker.score(reranker.prepare(queries), jnp.maximum(pick, 0))
+        ex = jnp.where(approx > NEG_INF, ex, NEG_INF)
+        order = jnp.argsort(-ex, axis=1)[:, :top_k]
+        out_ids = jnp.take_along_axis(pick, order, axis=1)
+        out_sc = jnp.take_along_axis(ex, order, axis=1)
+        out_approx = jnp.take_along_axis(approx, order, axis=1)
+        reranked = jnp.full((Q,), k1, jnp.int32)
+    else:
+        out_ids, out_sc = pick[:, :top_k], approx[:, :top_k]
+        out_approx = out_sc
+        reranked = jnp.zeros((Q,), jnp.int32)
+    out_ids = jnp.where(out_sc > NEG_INF, out_ids, -1)
+    if threshold > 0.0:
+        keep = out_sc >= threshold
+        out_ids = jnp.where(keep, out_ids, -1)
+        out_sc = jnp.where(keep, out_sc, NEG_INF)
+    return SearchResult(
+        ids=out_ids,
+        scores=out_sc,
+        visited_count=jnp.broadcast_to(
+            jnp.sum(ok).astype(jnp.int32)[None], (Q,)
+        ),
+        expanded_count=jnp.zeros((Q,), jnp.int32),
+        reranked_count=reranked,
+        approx_scores=out_approx,
+    )
+
+
 def search(
     graph: GraphIndex,
     provider,
@@ -636,12 +696,45 @@ def search(
     it.  This call therefore BLOCKS when ``accept`` is given; all other
     paths stay fully asynchronous dispatches.
     """
-    accept = kwargs.get("accept")
+    accept = kwargs.pop("accept", None)
+    brute_cutoff = kwargs.pop("accept_brute_cutoff", None)
     if accept is None or kwargs.get("init_state") is not None:
         return _search_jit(
-            graph, provider, queries, top_k, beam_width=beam_width, **kwargs
+            graph, provider, queries, top_k, beam_width=beam_width,
+            accept=accept, **kwargs,
         )
     L = beam_width or max(top_k, 100)
+    # Low-cardinality cutoff: when few ordinals pass the filter, exact
+    # evaluation of the whole accepted set beats graph traversal AND avoids
+    # the one geometry the bounded wave frontier explores poorly (a small
+    # accepted island far from the entry, whose low-scoring boundary is
+    # starved out of the beam by high-scoring non-accepted candidates — the
+    # reference's UNBOUNDED candidate heap never drops those).  Cassandra
+    # SAI makes the same call for low-cardinality predicates.
+    if brute_cutoff is None:
+        brute_cutoff = max(4 * L, 512)
+    if not kwargs.get("return_state") and kwargs.get("rerank_floor") is None:
+        acc_ids = np.flatnonzero(np.asarray(accept))
+        if acc_ids.size <= brute_cutoff:
+            A = 1 << max(4, int(acc_ids.size - 1).bit_length())
+            ids = np.full(A, -1, np.int32)
+            ids[: acc_ids.size] = acc_ids
+            reranker = kwargs.get("reranker")
+            rerank_k = kwargs.get("rerank_k") or (
+                L if reranker is not None else top_k
+            )
+            return _filtered_brute_jit(
+                graph,
+                provider,
+                jnp.asarray(queries),
+                jnp.asarray(ids),
+                top_k=top_k,
+                rerank_k=min(max(rerank_k, top_k), A),
+                reranker=reranker,
+                threshold=kwargs.get("threshold", 0.0),
+                exclude_ids=kwargs.get("exclude_ids"),
+            )
+    kwargs["accept"] = accept
     cap = min(graph.capacity, max(16 * L, 1024))
     while True:
         out = _search_jit(

@@ -48,6 +48,8 @@ def test_low_cardinality_filtering(built, selectivity):
     gt = _filtered_gt(
         np.asarray(ds.base, np.float32), np.asarray(ds.queries, np.float32), mask, k
     )
+    # accept_brute_cutoff=0 forces the IN-LOOP graph path (the default
+    # would brute-force these low-cardinality sets, see the skewed test)
     res = search(
         graph,
         provider,
@@ -55,6 +57,7 @@ def test_low_cardinality_filtering(built, selectivity):
         top_k=k,
         beam_width=40,
         accept=jnp.asarray(mask),
+        accept_brute_cutoff=0,
     )
     ids = np.asarray(res.ids)
     # full result set: every query finds k accepted results (no -1 holes)
@@ -91,12 +94,23 @@ def test_filtered_search_with_rerank(built):
         rerank_k=40,
         reranker=provider,
         accept=jnp.asarray(mask),
+        accept_brute_cutoff=0,  # force the in-loop graph path
     )
     ids = np.asarray(res.ids)
     assert (ids >= 0).all()
     assert mask[ids].all()
     r = recall_at_k(ids, gt, k)
     assert r >= 0.9, f"filtered+rerank recall {r}"
+
+    # default cutoff: the same low-cardinality search brute-forces the
+    # accepted set exactly — results must be at least as good
+    res_b = search(
+        graph, sq4, jnp.asarray(ds.queries), top_k=k, beam_width=40,
+        rerank_k=40, reranker=provider, accept=jnp.asarray(mask),
+    )
+    rb = recall_at_k(np.asarray(res_b.ids), gt, k)
+    assert rb >= r - 1e-9, f"brute path {rb} worse than graph path {r}"
+    assert int(np.asarray(res_b.expanded_count).sum()) == 0  # no traversal
 
 
 def test_accept_all_matches_unfiltered(built):
@@ -128,3 +142,35 @@ def test_deleted_nodes_excluded_in_filtered_results(built):
     res = search(g2, provider, q, top_k=5, beam_width=30, accept=jnp.asarray(mask))
     ids = np.asarray(res.ids)
     assert not np.isin(ids, victims).any()
+
+
+def test_skewed_accept_ords():
+    """Accept mask concentrated in ONE cluster (reference
+    ``testSearchWithSkewedAcceptOrds``): the beam must traverse
+    non-accepted regions to reach the accepted island."""
+    rng = np.random.default_rng(41)
+    n_clusters, per, d = 20, 200, 32
+    centers = rng.normal(size=(n_clusters, d)).astype(np.float32) * 6
+    base = np.concatenate(
+        [c + rng.normal(size=(per, d)).astype(np.float32) for c in centers]
+    )
+    n = base.shape[0]
+    cfg = GraphConfig(max_degree=16, ef_construction=40, wave_size=128)
+    graph, provider = build_graph(base, "euclidean", cfg)
+
+    # accept ONLY cluster 7; query from every other cluster's direction
+    mask = np.zeros(n, bool)
+    mask[7 * per : 8 * per] = True
+    queries = centers[[1, 4, 11, 15]] + rng.normal(size=(4, d)).astype(np.float32)
+    k = 10
+    gt = _filtered_gt(base, queries.astype(np.float32), mask, k)
+
+    res = search(
+        graph, provider, jnp.asarray(queries), top_k=k, beam_width=40,
+        accept=jnp.asarray(mask),
+    )
+    ids = np.asarray(res.ids)
+    assert (ids >= 0).all(), "skewed filter produced holes"
+    assert mask[ids].all()
+    r = recall_at_k(ids, gt, k)
+    assert r >= 0.9, f"skewed-accept recall {r}"
