@@ -308,6 +308,57 @@ class HostGraphIndex:
         streamed = q * expand * r * (4 + mp + 4)
         return beam + streamed
 
+    def _filtered_brute(
+        self, queries, top_k, acc_ids, beam_width, rerank, threshold
+    ) -> SearchResult:
+        """Exact evaluation of a small accepted set: one host gather of the
+        A accepted code rows, one device scoring pass, optional rerank."""
+        from jvector_tpu.util.native import gather_rows
+
+        scorer = SQ4StreamScorer(
+            scale=jnp.asarray(self.scale),
+            offset=jnp.asarray(self.offset),
+            sim=self.sim,
+        )
+        queries = jnp.asarray(queries)
+        Q = queries.shape[0]
+        A = 1 << max(4, int(max(acc_ids.size, top_k) - 1).bit_length())
+        ids = np.full(A, -1, np.int32)
+        ids[: acc_ids.size] = acc_ids
+        safe = np.maximum(ids, 0)
+        k_rows = jnp.asarray(gather_rows(self.codes_packed, safe))
+        w2 = jnp.asarray(np.ascontiguousarray(self.node_const[safe]))
+        sc = _host_brute_score(scorer, queries, k_rows, w2, jnp.asarray(ids >= 0))
+        k1 = min(max(top_k, beam_width if rerank is not None else top_k), A)
+        approx, idx = jax.lax.top_k(sc, k1)
+        pick = jnp.take_along_axis(
+            jnp.broadcast_to(jnp.asarray(ids)[None], (Q, A)), idx, axis=1
+        )
+        pick = jnp.where(approx > NEG_INF, pick, -1)
+        res = SearchResult(
+            ids=pick,
+            scores=approx,
+            visited_count=jnp.full((Q,), int(acc_ids.size), jnp.int32),
+            expanded_count=jnp.zeros((Q,), jnp.int32),
+            reranked_count=jnp.zeros((Q,), jnp.int32),
+            approx_scores=approx,
+        )
+        if rerank is not None:
+            res = rerank.rerank(queries, res, top_k)
+        else:
+            res = res._replace(
+                ids=pick[:, :top_k],
+                scores=approx[:, :top_k],
+                approx_scores=approx[:, :top_k],
+            )
+        if threshold > 0.0:
+            ok = res.scores >= threshold
+            res = res._replace(
+                ids=jnp.where(ok, res.ids, -1),
+                scores=jnp.where(ok, res.scores, NEG_INF),
+            )
+        return res
+
     def search(
         self,
         queries: jax.Array,
@@ -320,6 +371,7 @@ class HostGraphIndex:
         pipeline: int = 2,
         accept: "np.ndarray | None" = None,  # bool [N] acceptOrds mask
         threshold: float = 0.0,  # drop results scoring below this similarity
+        accept_brute_cutoff: int | None = None,
     ) -> SearchResult:
         """Wave beam search streaming graph rows from host per iteration.
 
@@ -350,6 +402,20 @@ class HostGraphIndex:
             acc_full[: a.shape[0]] = a
             if self.deleted is not None:
                 acc_full &= ~np.asarray(self.deleted)
+            # low-cardinality cutoff (same rationale + default as the
+            # in-HBM searcher / Cassandra SAI): exact evaluation of a small
+            # accepted set beats traversal and is immune to the skewed
+            # far-island geometry.  One host gather of A code rows.
+            acc_ids = np.flatnonzero(acc_full)
+            cutoff = (
+                max(4 * beam_width, 512)
+                if accept_brute_cutoff is None
+                else accept_brute_cutoff
+            )
+            if acc_ids.size <= cutoff:
+                return self._filtered_brute(
+                    queries, top_k, acc_ids, beam_width, rerank, threshold
+                )
         scorer = SQ4StreamScorer(
             scale=jnp.asarray(self.scale),
             offset=jnp.asarray(self.offset),
@@ -580,6 +646,21 @@ class HostGraphIndex:
         )
 
 
+@jax.jit
+def _host_brute_score(scorer, queries, k_rows, w2, valid):
+    """Score all candidate code rows for every query (SQ4StreamScorer is a
+    registered pytree, so one compile per shape bucket)."""
+    qstate = scorer.prepare(queries)
+    Q = queries.shape[0]
+    A = k_rows.shape[0]
+    sc = scorer.score_rows(
+        qstate,
+        jnp.broadcast_to(k_rows[None], (Q,) + k_rows.shape),
+        jnp.broadcast_to(w2[None], (Q, A)),
+    )
+    return jnp.where(valid[None], sc, NEG_INF)
+
+
 @dataclasses.dataclass
 class ShardedHostIndex:
     """Bounded-memory serving over a sharded-LTM directory.
@@ -631,6 +712,7 @@ class ShardedHostIndex:
         pipeline: int = 2,
         accept: "np.ndarray | None" = None,  # bool [n_total] GLOBAL mask
         threshold: float = 0.0,
+        accept_brute_cutoff: int | None = None,
     ) -> SearchResult:
         """Search every shard, globalize ids, merge the topK by score.
 
@@ -657,6 +739,7 @@ class ShardedHostIndex:
                     pipeline=pipeline,
                     accept=acc_s,
                     threshold=threshold,
+                    accept_brute_cutoff=accept_brute_cutoff,
                 )
             )
             offs.append(off)

@@ -716,7 +716,7 @@ def search(
     if not kwargs.get("return_state") and kwargs.get("rerank_floor") is None:
         acc_ids = np.flatnonzero(np.asarray(accept))
         if acc_ids.size <= brute_cutoff:
-            A = 1 << max(4, int(acc_ids.size - 1).bit_length())
+            A = 1 << max(4, int(max(acc_ids.size, top_k) - 1).bit_length())
             ids = np.full(A, -1, np.int32)
             ids[: acc_ids.size] = acc_ids
             reranker = kwargs.get("reranker")

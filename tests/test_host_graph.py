@@ -131,15 +131,25 @@ def test_host_graph_low_cardinality_filtering(saved, selectivity):
     fgt = _filtered_gt(base, queries, mask, k)
 
     hg = HostGraphIndex.load(path)
+    # cutoff=0 forces the streamed in-loop graph path (default would
+    # brute-force these small accepted sets — covered separately below)
     res = hg.search(
         jnp.asarray(queries), top_k=k, beam_width=40, expand=4,
-        max_iters=400, accept=mask,
+        max_iters=400, accept=mask, accept_brute_cutoff=0,
     )
     ids = np.asarray(res.ids)
     assert (ids >= 0).all(), f"holes at selectivity {selectivity}"
     assert mask[ids].all(), "returned a non-accepted node"
     r = recall_at_k(ids, fgt, k)
     assert r >= 0.9, f"host-tier filtered recall {r} at {selectivity}"
+
+    # default cutoff: same search brute-forces the accepted set exactly
+    res_b = hg.search(
+        jnp.asarray(queries), top_k=k, beam_width=40, expand=4, accept=mask,
+    )
+    rb = recall_at_k(np.asarray(res_b.ids), fgt, k)
+    assert rb >= r - 1e-9
+    assert int(np.asarray(res_b.expanded_count).sum()) == 0  # no traversal"
 
 
 def test_host_graph_threshold_search(saved):
