@@ -721,11 +721,20 @@ class ShardedHostIndex:
         skipped outright).
         """
         acc = None if accept is None else np.asarray(accept, bool)
+        # per-shard VALID node count (not array capacity: shard containers
+        # are padded to a shared compile bucket, so slicing the global mask
+        # by hg.neighbors.shape[0] would bleed the next shard's accept bits
+        # onto this shard's padding ordinals)
+        step = (
+            self.offsets[1] - self.offsets[0]
+            if len(self.offsets) > 1
+            else self.n_total
+        )
         per, offs = [], []
         for hg, off in zip(self.shards, self.offsets):
             acc_s = None
             if acc is not None:
-                acc_s = acc[off : off + hg.neighbors.shape[0]]
+                acc_s = acc[off : min(off + step, self.n_total)]
                 if not acc_s.any():
                     continue  # nothing in this shard can be returned
             per.append(

@@ -736,13 +736,20 @@ def search(
             )
     kwargs["accept"] = accept
     cap = min(graph.capacity, max(16 * L, 1024))
+    # Escalate only while widening actually finds MORE results: results can
+    # be legitimately missing (threshold-dropped, or fewer reachable
+    # accepted nodes than top_k), and "ids not all valid" alone would then
+    # re-search at every width up to the cap on every call.
+    prev_found = -1
     while True:
         out = _search_jit(
             graph, provider, queries, top_k, beam_width=L, **kwargs
         )
         res = out[0] if kwargs.get("return_state") else out
-        if L >= cap or bool((res.ids >= 0).all()):
+        found = int(jnp.sum(res.ids >= 0))
+        if L >= cap or found == res.ids.size or found <= prev_found:
             return out
+        prev_found = found
         L = min(2 * L, cap)
 
 

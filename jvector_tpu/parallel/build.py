@@ -624,7 +624,8 @@ def load_sharded(
     sq_feats: dict[str, list[np.ndarray]] = {
         k: [] for k in ("codes_packed", "node_const", "fused_packed", "fused_w2")
     }
-    scale = offset = None
+    scales: list[np.ndarray] = []
+    offsets_q: list[np.ndarray] = []
     f4 = f"feature/{FeatureId.FUSED_SQ4}"
     for fname in man["shards"]:
         idx = load_index(os.path.join(directory, fname))
@@ -649,8 +650,62 @@ def load_sharded(
         if man.get("sq4"):
             for k in sq_feats:
                 sq_feats[k].append(np.asarray(r.read(f"{f4}/{k}")))
-            scale = np.asarray(r.read(f"{f4}/scale"))
-            offset = np.asarray(r.read(f"{f4}/offset"))
+            scales.append(np.asarray(r.read(f"{f4}/scale")))
+            offsets_q.append(np.asarray(r.read(f"{f4}/offset")))
+
+    # shard containers are padded to a shared compile bucket; a ragged last
+    # shard's inline vectors block is the only per-n array — pad it so the
+    # stacked provider rows line up with the capacity-shaped graph arrays
+    cap = nbrs[0].shape[0]
+    vecs = [
+        v
+        if v.shape[0] == cap
+        else np.concatenate(
+            [v, np.zeros((cap - v.shape[0], v.shape[1]), v.dtype)]
+        )
+        for v in vecs
+    ]
+
+    scale = offset = None
+    if man.get("sq4"):
+        scale, offset = scales[0], offsets_q[0]
+        same_q = all(
+            np.array_equal(scales[0], s) and np.array_equal(offsets_q[0], o)
+            for s, o in zip(scales, offsets_q)
+        )
+        if not same_q:
+            # sharded_build_on_disk trains an INDEPENDENT quantizer per
+            # shard (self-contained segment files); a mesh-stacked provider
+            # needs one affine, so re-encode every shard with shard 0's
+            # quantizer from the inline vectors and rebuild the fused
+            # tables (load-time cost only — the shard files are untouched,
+            # and the host tier keeps using each shard's own quantizer)
+            from jvector_tpu.quantization.sq import ScalarQuantization4
+
+            sq0 = ScalarQuantization4(
+                scale=jnp.asarray(scale),
+                offset=jnp.asarray(offset),
+                original_dim=int(vecs[0].shape[1]),
+            )
+            for si, v in enumerate(vecs):
+                codes_s = np.asarray(sq0.encode(jnp.asarray(v)))
+                w2_s, norm2_s = sq0.node_constants(jnp.asarray(codes_s))
+                const_s = np.asarray(
+                    norm2_s if sim == SimilarityFunction.COSINE else w2_s
+                )
+                nb = nbrs[si]
+                ok = nb >= 0
+                safe = np.maximum(nb, 0)
+                sq_feats["codes_packed"][si] = codes_s
+                sq_feats["node_const"][si] = const_s
+                sq_feats["fused_packed"][si] = (
+                    np.where(ok[..., None], codes_s[safe], 0)
+                    .reshape(nb.shape[0], -1)
+                    .astype(np.uint8)
+                )
+                sq_feats["fused_w2"][si] = np.where(
+                    ok, const_s[safe], 0.0
+                ).astype(np.float32)
 
     def put(arr):
         spec = P(axis, *([None] * (arr.ndim - 1)))

@@ -174,3 +174,35 @@ def test_skewed_accept_ords():
     assert mask[ids].all()
     r = recall_at_k(ids, gt, k)
     assert r >= 0.9, f"skewed-accept recall {r}"
+
+
+def test_filtered_escalation_stops_when_results_cannot_improve(monkeypatch):
+    """Legitimately missing results (here: a threshold that drops nearly
+    everything) must NOT drive the beam-escalation loop to the cap on every
+    call — widening only continues while it finds MORE results."""
+    import jvector_tpu.graph.searcher as S
+
+    ds = synthetic_dataset(n=2048, dim=16, n_queries=8, k=10, seed=11)
+    cfg = GraphConfig(max_degree=16, ef_construction=32, wave_size=256)
+    graph, provider = build_graph(np.asarray(ds.base), "euclidean", cfg)
+    rng = np.random.default_rng(0)
+    mask = np.zeros(2048, bool)
+    # > the brute cutoff (max(4*beam, 512)) so the traversal path runs
+    mask[rng.choice(2048, 700, replace=False)] = True
+
+    calls: list[int] = []
+    orig = S._search_jit
+
+    def counting(*a, **k):
+        calls.append(k.get("beam_width"))
+        return orig(*a, **k)
+
+    monkeypatch.setattr(S, "_search_jit", counting)
+    res = S.search(
+        graph, provider, jnp.asarray(ds.queries), top_k=10, beam_width=16,
+        accept=jnp.asarray(mask), threshold=0.9999,
+    )
+    # everything threshold-dropped: one search + one no-better retry, not a
+    # doubling ladder up to the 1024 cap
+    assert len(calls) == 2, f"escalation ladder ran {calls}"
+    assert (np.asarray(res.ids) == -1).all()

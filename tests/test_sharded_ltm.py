@@ -149,3 +149,92 @@ def test_ltm_shards_load_onto_mesh(built):
     assert idx.n_shards == SHARDS and idx.n_total == N
     counts = np.asarray(idx.graphs.layers[0].counts)
     assert (counts.sum(axis=1) > 0).all()
+
+
+def test_ragged_shard_filtered_search_no_phantoms(tmp_path_factory):
+    """Shard containers are padded to a shared compile bucket, so a shard's
+    array capacity exceeds its node count when the shard size is not a
+    bucket size.  The global accept mask must be sliced by shard SIZE —
+    slicing by capacity bled shard 1's accept bits onto shard 0's padding
+    ordinals (phantom brute-path results + out-of-bounds rerank reads)."""
+    N, D, SH = 1200, 16, 2
+    ds = synthetic_dataset(n=N, dim=D, n_queries=16, k=10, seed=7)
+    d = tmp_path_factory.mktemp("ragged")
+    cfg = GraphConfig(max_degree=8, ef_construction=24, wave_size=256)
+    sharded_build_on_disk(
+        d, np.asarray(ds.base), n=N, dim=D, shards=SH, config=cfg,
+        sim=ds.similarity,
+    )
+    sh = ShardedHostIndex.load(d)
+    n_local = -(-N // SH)
+    # the geometry under test: capacity strictly greater than shard size
+    assert sh.shards[0].neighbors.shape[0] > n_local
+
+    # accept ONLY the first 48 nodes of shard 1 — exactly the ids a
+    # capacity-wide slice maps onto shard 0's padding rows
+    mask = np.zeros(N, bool)
+    mask[n_local : n_local + 48] = True
+    res = sh.search(
+        jnp.asarray(ds.queries), top_k=10, beam_width=24, expand=2,
+        accept=mask,
+    )
+    ids = np.asarray(res.ids)
+    assert (ids >= 0).all() and mask[ids].all()
+
+    base = np.asarray(ds.base, np.float32)
+    q = np.asarray(ds.queries, np.float32)
+    sub = np.flatnonzero(mask)
+    dist = (
+        np.sum(q**2, axis=1)[:, None]
+        - 2.0 * q @ base[sub].T
+        + np.sum(base[sub] ** 2, axis=1)[None, :]
+    )
+    fgt = sub[np.argsort(dist, axis=1)[:, :10]]
+    r = recall_at_k(ids, fgt, 10)
+    assert r >= 0.99, f"ragged-shard filtered recall {r}"
+
+
+def test_ltm_shards_mesh_search_with_per_shard_quantizers(tmp_path_factory):
+    """sharded_build_on_disk trains an INDEPENDENT SQ4 quantizer per shard;
+    load_sharded must not decode shard 0's codes with shard 1's affine.
+    Shard ranges with different spreads make the affines measurably
+    different, and the mesh search must still hit recall after the
+    load-time re-encode."""
+    import json
+
+    from jvector_tpu.disk.format import FeatureId, load_index
+    from jvector_tpu.parallel import sharded_graph_search
+
+    N, D, SH = 4096, 16, 2
+    rng = np.random.default_rng(3)
+    half = N // SH
+    lo = rng.normal(0.0, 1.0, size=(half, D)).astype(np.float32)
+    hi = rng.normal(0.0, 2.5, size=(half, D)).astype(np.float32)
+    base = np.concatenate([lo, hi])
+    queries = np.concatenate(
+        [lo[rng.integers(0, half, 8)], hi[rng.integers(0, half, 8)]]
+    ) + rng.normal(0.0, 0.05, size=(16, D)).astype(np.float32)
+    d2 = (
+        np.sum(queries**2, axis=1)[:, None]
+        - 2.0 * queries @ base.T
+        + np.sum(base**2, axis=1)[None, :]
+    )
+    gt = np.argsort(d2, axis=1)[:, :10]
+
+    d = tmp_path_factory.mktemp("perq")
+    cfg = GraphConfig(max_degree=16, ef_construction=48, wave_size=256)
+    man = sharded_build_on_disk(
+        d, base, n=N, dim=D, shards=SH, config=cfg, sim="euclidean"
+    )
+    f4 = f"feature/{FeatureId.FUSED_SQ4}"
+    s0 = np.asarray(load_index(d / man["shards"][0]).reader.read(f"{f4}/scale"))
+    s1 = np.asarray(load_index(d / man["shards"][1]).reader.read(f"{f4}/scale"))
+    assert not np.array_equal(s0, s1), "test needs differing per-shard affines"
+
+    mesh = make_mesh(2, "shard")
+    idx = load_sharded(d, mesh)
+    gids, _ = sharded_graph_search(
+        idx, jnp.asarray(queries), mesh, top_k=10, beam_width=48
+    )
+    r = recall_at_k(np.asarray(gids), gt, 10)
+    assert r >= 0.9, f"per-shard-quantizer mesh recall {r}"
