@@ -724,17 +724,20 @@ class ShardedHostIndex:
         # per-shard VALID node count (not array capacity: shard containers
         # are padded to a shared compile bucket, so slicing the global mask
         # by hg.neighbors.shape[0] would bleed the next shard's accept bits
-        # onto this shard's padding ordinals)
-        step = (
-            self.offsets[1] - self.offsets[0]
-            if len(self.offsets) > 1
-            else self.n_total
-        )
+        # onto this shard's padding ordinals); the dataclass is publicly
+        # constructible with NON-uniform offsets (one-shard-per-host
+        # deployments), so each shard's bound is the next offset, not a
+        # single uniform step
         per, offs = [], []
-        for hg, off in zip(self.shards, self.offsets):
+        for i, (hg, off) in enumerate(zip(self.shards, self.offsets)):
+            end = (
+                self.offsets[i + 1]
+                if i + 1 < len(self.offsets)
+                else self.n_total
+            )
             acc_s = None
             if acc is not None:
-                acc_s = acc[off : min(off + step, self.n_total)]
+                acc_s = acc[off:end]
                 if not acc_s.any():
                     continue  # nothing in this shard can be returned
             per.append(

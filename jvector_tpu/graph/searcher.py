@@ -691,10 +691,11 @@ def search(
     can no longer improve.  The wave beam is a bounded frontier (the
     reference's candidate heap is unbounded), so if a low-cardinality
     filter starves the frontier before the accepted topK fills, the search
-    retries at double the beam width (up to a cap) — one host round-trip
-    per escalation, and only for the pathological selectivities that need
-    it.  This call therefore BLOCKS when ``accept`` is given; all other
-    paths stay fully asynchronous dispatches.
+    retries at double the beam width — up to a cap, stopping early after
+    two consecutive widenings that find no additional results — one host
+    round-trip per escalation, and only for the pathological selectivities
+    that need it.  This call therefore BLOCKS when ``accept`` is given; all
+    other paths stay fully asynchronous dispatches.
     """
     accept = kwargs.pop("accept", None)
     brute_cutoff = kwargs.pop("accept_brute_cutoff", None)
@@ -736,18 +737,26 @@ def search(
             )
     kwargs["accept"] = accept
     cap = min(graph.capacity, max(16 * L, 1024))
-    # Escalate only while widening actually finds MORE results: results can
+    # Escalate only while widening keeps finding MORE results: results can
     # be legitimately missing (threshold-dropped, or fewer reachable
     # accepted nodes than top_k), and "ids not all valid" alone would then
-    # re-search at every width up to the cap on every call.
+    # re-search at every width up to the cap on every call.  TWO consecutive
+    # no-improvement rounds are required before stopping short of the cap:
+    # plateau-then-jump geometries (a skewed accepted island that only
+    # enters the bounded frontier at 4L, with L and 2L finding the same
+    # partial set) recover on the second widening.
     prev_found = -1
+    stalled = 0
     while True:
         out = _search_jit(
             graph, provider, queries, top_k, beam_width=L, **kwargs
         )
         res = out[0] if kwargs.get("return_state") else out
         found = int(jnp.sum(res.ids >= 0))
-        if L >= cap or found == res.ids.size or found <= prev_found:
+        if L >= cap or found == res.ids.size:
+            return out
+        stalled = stalled + 1 if found <= prev_found else 0
+        if stalled >= 2:
             return out
         prev_found = found
         L = min(2 * L, cap)

@@ -676,36 +676,66 @@ def load_sharded(
         if not same_q:
             # sharded_build_on_disk trains an INDEPENDENT quantizer per
             # shard (self-contained segment files); a mesh-stacked provider
-            # needs one affine, so re-encode every shard with shard 0's
-            # quantizer from the inline vectors and rebuild the fused
+            # needs one affine, so re-encode every shard with a UNION
+            # affine covering every shard's trained range (lo=min offsets,
+            # hi=max offsets+15*scales — any single shard's affine would
+            # clip distribution-drifted shards) and rebuild the fused
             # tables (load-time cost only — the shard files are untouched,
             # and the host tier keeps using each shard's own quantizer)
             from jvector_tpu.quantization.sq import ScalarQuantization4
 
+            lo = np.minimum.reduce(offsets_q)
+            hi = np.maximum.reduce(
+                [o + 15.0 * s for s, o in zip(scales, offsets_q)]
+            )
+            offset = lo.astype(np.float32)
+            scale = np.maximum((hi - lo) / 15.0, 1e-12).astype(np.float32)
             sq0 = ScalarQuantization4(
                 scale=jnp.asarray(scale),
                 offset=jnp.asarray(offset),
                 original_dim=int(vecs[0].shape[1]),
             )
+            # chunked: whole-shard fancy indexing would materialize a
+            # [cap, R, MP] u8 intermediate (~26 GB/shard at the advertised
+            # 12.5M-nodes-per-shard scale) and push the full f32 shard
+            # through the device in one transfer
+            chunk = 65_536
             for si, v in enumerate(vecs):
-                codes_s = np.asarray(sq0.encode(jnp.asarray(v)))
-                w2_s, norm2_s = sq0.node_constants(jnp.asarray(codes_s))
-                const_s = np.asarray(
-                    norm2_s if sim == SimilarityFunction.COSINE else w2_s
-                )
+                cap_s = v.shape[0]
                 nb = nbrs[si]
-                ok = nb >= 0
-                safe = np.maximum(nb, 0)
+                r = nb.shape[1]
+                mp = None
+                codes_s = const_s = None
+                for st in range(0, cap_s, chunk):
+                    cb = sq0.encode(jnp.asarray(v[st : st + chunk]))
+                    w2_b, norm2_b = sq0.node_constants(cb)
+                    cb = np.asarray(cb)
+                    if codes_s is None:
+                        mp = cb.shape[1]
+                        codes_s = np.empty((cap_s, mp), np.uint8)
+                        const_s = np.empty((cap_s,), np.float32)
+                    codes_s[st : st + chunk] = cb
+                    const_s[st : st + chunk] = np.asarray(
+                        norm2_b
+                        if sim == SimilarityFunction.COSINE
+                        else w2_b
+                    )
+                fused_p = np.zeros((cap_s, r * mp), np.uint8)
+                fused_w = np.zeros((cap_s, r), np.float32)
+                for st in range(0, cap_s, chunk):
+                    blk = nb[st : st + chunk]
+                    ok = blk >= 0
+                    safe = np.maximum(blk, 0)
+                    fused_p[st : st + chunk] = np.where(
+                        ok[..., None], codes_s[safe], 0
+                    ).reshape(blk.shape[0], -1)
+                    fused_w[st : st + chunk] = np.where(
+                        ok, const_s[safe], 0.0
+                    )
                 sq_feats["codes_packed"][si] = codes_s
                 sq_feats["node_const"][si] = const_s
-                sq_feats["fused_packed"][si] = (
-                    np.where(ok[..., None], codes_s[safe], 0)
-                    .reshape(nb.shape[0], -1)
-                    .astype(np.uint8)
-                )
-                sq_feats["fused_w2"][si] = np.where(
-                    ok, const_s[safe], 0.0
-                ).astype(np.float32)
+                sq_feats["fused_packed"][si] = fused_p
+                sq_feats["fused_w2"][si] = fused_w
 
     def put(arr):
         spec = P(axis, *([None] * (arr.ndim - 1)))

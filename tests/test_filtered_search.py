@@ -202,7 +202,8 @@ def test_filtered_escalation_stops_when_results_cannot_improve(monkeypatch):
         graph, provider, jnp.asarray(ds.queries), top_k=10, beam_width=16,
         accept=jnp.asarray(mask), threshold=0.9999,
     )
-    # everything threshold-dropped: one search + one no-better retry, not a
-    # doubling ladder up to the 1024 cap
-    assert len(calls) == 2, f"escalation ladder ran {calls}"
+    # everything threshold-dropped: one search + two no-better retries
+    # (plateau-then-jump geometries get a second widening before the loop
+    # gives up), not a doubling ladder up to the 1024 cap
+    assert len(calls) == 3, f"escalation ladder ran {calls}"
     assert (np.asarray(res.ids) == -1).all()
