@@ -28,6 +28,7 @@ def main() -> None:
 
     from jvector_tpu.graph.builder import (
         GraphIndexBuilder,
+        _EntrySeedSampler,
         _fused_aligned_config,
         _wave_search,
         _wave_update_fused,
@@ -48,6 +49,7 @@ def main() -> None:
         max_degree=32, ef_construction=100,
         wave_size=args.wave, build_expand=args.expand,
     )
+    seeds = None  # set up after n is known
     cfg = _fused_aligned_config(cfg, (args.dim + 1) // 2)
     sim = SimilarityFunction.EUCLIDEAN
     n_cap = bucket_capacity(n)
@@ -68,6 +70,7 @@ def main() -> None:
     graph = empty_graph(n_cap, cfg)
 
     w = cfg.wave_size
+    seeds = _EntrySeedSampler(n, w, cfg.build_entry_seeds)
     starts = list(range(0, n, w))
     warm = starts[: -args.timed_waves]
     timed = starts[-args.timed_waves :]
@@ -80,8 +83,10 @@ def main() -> None:
         bp = dataclasses.replace(bp0, fused_packed=fused_packed, fused_w2=fused_w2)
         t0 = time.time()
         beam_ids, beam_scores = _wave_search(
-            graph.base.neighbors, bp, graph.entry_node, ids_dev, wv, cfg
+            graph.base.neighbors, bp, graph.entry_node, ids_dev, wv, cfg,
+            seeds.sample(),
         )
+        seeds.record(ids)
         if block:
             jax.block_until_ready(beam_ids)
             t_search.append(time.time() - t0)

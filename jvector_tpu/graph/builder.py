@@ -384,6 +384,8 @@ def _wave_search(
         beam_width=ef,
         max_iters=config.max_build_iters,
         expand_per_iter=config.build_expand,
+        # rank-3 = the packed [N/8, 8, 128] build adjacency (r4)
+        packed_rows=config.row_cap if graph_neighbors.ndim == 3 else None,
     )
     return beam.ids[:, :ef], beam.scores[:, :ef]
 
@@ -661,6 +663,404 @@ def _wave_update_fused(
     return new_graph, fused_packed, fused_w2
 
 
+# ---------------------------------------------------------------------------
+# Packed-adjacency wave update (r4): three programs per wave instead of two.
+#
+# The r3 two-program split left neighbors / scores / fused_w2 as XLA scatters
+# inside the update program, and XLA defensively copies each of those tables
+# every wave (measured r4 at 1M: three ~7.8 ms chunked-copy loops = 22 ms of
+# an 83 ms wave).  The fix packs neighbors + edge scores into ONE [N/8, 8,
+# 128] int32 table (`adj`: ids in lanes [0:R], f32 score bits in [64:64+R])
+# and the fused per-slot constants into a second (`w2t`), both updated by a
+# write-only Pallas program (ops/pallas/packed_adj.py).  Because a gather
+# from a donated table followed by an aliased write forces a copy, the wave
+# becomes THREE programs:
+#
+#   P1 `_wave_search`      — read-only beam search (packed gathers)
+#   P2 `_wave_update_compute` — reads adj (pre-state) + computes everything:
+#        prune, wave-row images, backlink patch stream, enforce images.
+#        The reads that used to see mid-program writes are replaced by
+#        pre-state + overlays (intra-wave rows from `sel_ids`, this wave's
+#        appends scattered into a [W, R] temp).
+#   P3 `_wave_apply_packed` — write-only: one aliased Pallas call per table.
+#
+# Semantics are identical to `_wave_update_fused` except enforce-row
+# duplicates are dropped up front (the XLA scatter tolerated identical
+# duplicate images; the image stream requires unique rows — output equal).
+# ---------------------------------------------------------------------------
+
+
+def _adj_rows(adj: jax.Array, ids: jax.Array, r: int):
+    """Gather packed adjacency rows: ids ``[B...]`` (>= 0) ->
+    ``(neighbor ids [B..., r] i32, scores [B..., r] f32)``."""
+    rows = adj[ids >> 3, ids & 7]  # [B..., 128] i32
+    return (
+        rows[..., :r],
+        jax.lax.bitcast_convert_type(rows[..., 64 : 64 + r], jnp.float32),
+    )
+
+
+def _intra_wave_scores(prune_provider, prune_qstate, wave_vectors, safe_wave):
+    """Intra-wave all-pairs scores ``[W, W]``.
+
+    For the exact provider this is a direct matmul on the wave vectors
+    already at hand — the generic path gathers W*W rows (262k rows at
+    W=512, ~3.7 ms/wave of pure row-gather, r4 measured) for vectors we
+    are literally holding."""
+    if isinstance(prune_provider, ExactScoreProvider):
+        from jvector_tpu.ops.similarity import normalize_score, pairwise_raw
+
+        qs = prune_provider.prepare(wave_vectors)
+        raw = pairwise_raw(qs, wave_vectors.astype(jnp.float32), prune_provider.sim)
+        return normalize_score(raw, prune_provider.sim)
+    w = safe_wave.shape[0]
+    return prune_provider.score(
+        prune_qstate, jnp.broadcast_to(safe_wave[None, :], (w, w))
+    )
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _wave_update_compute(
+    adj: jax.Array,  # [N/8, 8, 128] i32 packed adjacency (READ-ONLY here)
+    counts: jax.Array,  # [N] i32
+    entry_node: jax.Array,
+    num_nodes: jax.Array,
+    prune_provider,  # full-precision provider (rescore + prune)
+    codes_packed: jax.Array,  # uint8 [N_cap, MP]
+    node_const: jax.Array,  # f32 [N_cap]
+    wave_ids: jax.Array,  # int32 [W] contiguous ascending, -1 padded
+    wave_vectors: jax.Array,  # float32 [W, D]
+    beam_ids: jax.Array,  # int32 [W, ef]
+    beam_scores: jax.Array,  # float32 [W, ef]
+    config: GraphConfig,
+):
+    """Read+compute half of the packed wave update.  Returns the write
+    streams for :func:`_wave_apply_packed` plus updated counts/bookkeeping."""
+    W = wave_ids.shape[0]
+    N_cap = adj.shape[0] * 8
+    R_cap = config.row_cap
+    M = config.max_degree
+    ef = config.ef_construction
+    mp = codes_packed.shape[1]
+    wave_valid = wave_ids >= 0
+    safe_wave = jnp.where(wave_valid, wave_ids, 0)
+
+    # -- 2. intra-wave candidates --------------------------------------
+    prune_qstate = prune_provider.prepare(wave_vectors)
+    wave_pair_scores = _intra_wave_scores(
+        prune_provider, prune_qstate, wave_vectors, safe_wave
+    )
+    self_mask = jnp.eye(W, dtype=bool)
+    intra_valid = wave_valid[None, :] & wave_valid[:, None] & ~self_mask
+    intra_scores = jnp.where(intra_valid, wave_pair_scores, NEG_INF)
+    intra_ids = jnp.where(intra_valid, wave_ids[None, :], -1)
+    intra_ids = jnp.broadcast_to(intra_ids, (W, W))
+    intra_scores = tie_break_scores(safe_wave, intra_ids, intra_scores)
+
+    # -- 3. merge + rescore exact + prune ------------------------------
+    if W > ef:
+        intra_top_scores, intra_idx = jax.lax.top_k(intra_scores, ef)
+        intra_top_ids = jnp.take_along_axis(intra_ids, intra_idx, axis=1)
+    else:
+        intra_top_scores, intra_top_ids = intra_scores, intra_ids
+    cand_ids = jnp.concatenate([beam_ids, intra_top_ids], axis=1)
+    cand_scores = jnp.concatenate([beam_scores, intra_top_scores], axis=1)
+    cand_ids, cand_scores = dedup_sorted_desc(cand_ids, cand_scores)
+    valid = cand_ids >= 0
+    rescored = prune_provider.score(prune_qstate, jnp.maximum(cand_ids, 0))
+    cand_scores = jnp.where(valid, rescored, NEG_INF)
+    cand_scores = tie_break_scores(safe_wave, cand_ids, cand_scores)
+    order = jnp.argsort(-cand_scores, axis=1)
+    cand_ids = jnp.take_along_axis(cand_ids, order, axis=1)
+    cand_scores = jnp.take_along_axis(cand_scores, order, axis=1)
+
+    simmat = tie_break_pairs(
+        cand_ids, _pairwise_from_provider(prune_provider, cand_ids)
+    )
+    sel_ids, sel_scores, sel_count = robust_prune(
+        cand_ids, cand_scores, simmat, M, config.alphas, algo=config.prune_algo
+    )
+
+    # -- 4a. wave row images (whole-tile writes, so invalid members get
+    #        explicit EMPTY images rather than scatter drops) ------------
+    pad_cols = R_cap - M
+    row_ids = jnp.concatenate(
+        [sel_ids, jnp.full((W, pad_cols), -1, jnp.int32)], axis=1
+    )
+    row_scores = jnp.concatenate(
+        [sel_scores, jnp.full((W, pad_cols), NEG_INF)], axis=1
+    )
+    row_ids = jnp.where(wave_valid[:, None], row_ids, -1)
+    row_scores = jnp.where(wave_valid[:, None], row_scores, NEG_INF)
+    scatter_rows = jnp.where(wave_valid, wave_ids, N_cap)
+    counts1 = counts.at[scatter_rows].set(sel_count, mode="drop")
+
+    def fused_rows_for(ids_rows: jax.Array) -> tuple[jax.Array, jax.Array]:
+        ok = ids_rows >= 0
+        safe = jnp.maximum(ids_rows, 0)
+        f_codes = jnp.where(ok[..., None], codes_packed[safe], 0)
+        f_w2 = jnp.where(ok, node_const[safe], 0.0)
+        return f_codes.reshape(ids_rows.shape[0], -1), f_w2
+
+    f_codes, f_w2 = fused_rows_for(row_ids)
+
+    # -- 4b. backlinks: dedup against PRE-state + intra-wave overlay ----
+    flat_t = sel_ids.reshape(-1)
+    flat_s = jnp.broadcast_to(wave_ids[:, None], (W, M)).reshape(-1)
+    flat_sc = sel_scores.reshape(-1)
+    bl_valid = (flat_t >= 0) & (flat_s >= 0)
+
+    t_pre_ids, _ = _adj_rows(adj, jnp.maximum(flat_t, 0), R_cap)
+    exists_pre = jnp.any(t_pre_ids == flat_s[:, None], axis=1)
+    # wave-member targets: their row is being replaced this wave — the
+    # old row is irrelevant; mutual selection comes from sel_ids
+    eq_w = flat_t[:, None] == scatter_rows[None, :]  # [W*M, W]
+    is_wave_t = jnp.any(eq_w, axis=1)
+    widx = jnp.argmax(eq_w, axis=1)
+    mutual = jnp.any(sel_ids[widx] == flat_s[:, None], axis=1)
+    exists = jnp.where(is_wave_t, mutual, exists_pre)
+    bl_valid &= ~exists
+
+    big = jnp.int32(2**30)
+    key = jnp.where(bl_valid, flat_t, big)
+    key_sorted, s_sorted, sc_sorted, valid_sorted = jax.lax.sort(
+        (key, flat_s, flat_sc, bl_valid.astype(jnp.int32)), num_keys=1
+    )
+    pos_idx = jnp.arange(key.shape[0], dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), key_sorted[1:] != key_sorted[:-1]]
+    )
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, pos_idx, 0)
+    )
+    rank = pos_idx - run_start
+
+    t_ok = jnp.where(valid_sorted == 1, key_sorted, 0)
+    slot = counts1[t_ok] + rank
+    ok = (valid_sorted == 1) & (slot < R_cap)
+    scatter_slot = jnp.where(ok, slot, 0)
+    counts2 = counts1.at[jnp.where(ok, t_ok, N_cap)].add(1, mode="drop")
+
+    # -- 5. enforce overflow: reconstruct post-append rows from pre-state
+    over_cap = config.overflow_degree
+    touched = jnp.where(bl_valid, flat_t, 0)
+    touched_counts = jnp.where(bl_valid, counts2[touched], -1)
+    _, worst_idx = jax.lax.top_k(touched_counts, W)
+    enforce_rows = touched[worst_idx]
+    # drop duplicate rows (identical duplicate IMAGES were harmless as XLA
+    # scatters; the image stream wants unique rows — same final state)
+    first_occ = (
+        jnp.argmax(enforce_rows[:, None] == enforce_rows[None, :], axis=1)
+        == jnp.arange(W, dtype=jnp.int32)
+    )
+    enforce_mask = (counts2[enforce_rows] > over_cap) & first_occ
+
+    safe_er = jnp.maximum(enforce_rows, 0)
+    base_ids, base_scores = _adj_rows(adj, safe_er, R_cap)
+    er_is_wave = jnp.any(
+        enforce_rows[:, None] == scatter_rows[None, :], axis=1
+    )
+    ewidx = jnp.argmax(enforce_rows[:, None] == scatter_rows[None, :], axis=1)
+    base_ids = jnp.where(er_is_wave[:, None], row_ids[ewidx], base_ids)
+    base_scores = jnp.where(er_is_wave[:, None], row_scores[ewidx], base_scores)
+    # overlay this wave's appends into the (unique) enforce rows
+    eq_e = (key_sorted[:, None] == enforce_rows[None, :]) & ok[:, None]
+    has_e = jnp.any(eq_e, axis=1)
+    eidx = jnp.argmax(eq_e, axis=1)
+    e_r = jnp.where(has_e, eidx, W)
+    e_ids = base_ids.at[e_r, scatter_slot].set(s_sorted, mode="drop")
+    e_scores = base_scores.at[e_r, scatter_slot].set(sc_sorted, mode="drop")
+
+    e_ids_m = jnp.where(
+        jnp.arange(R_cap)[None, :] < counts2[safe_er][:, None], e_ids, -1
+    )
+    e_scores_m = jnp.where(e_ids_m >= 0, e_scores, NEG_INF)
+    e_scores_m = tie_break_scores(enforce_rows, e_ids_m, e_scores_m)
+    e_ids_s, e_scores_s = dedup_sorted_desc(e_ids_m, e_scores_m)
+    e_sim = tie_break_pairs(
+        e_ids_s, _pairwise_from_provider(prune_provider, e_ids_s)
+    )
+    p_ids, p_scores, p_count = robust_prune(
+        e_ids_s, e_scores_s, e_sim, M, config.alphas, algo=config.prune_algo
+    )
+    p_row_ids = jnp.concatenate(
+        [p_ids, jnp.full((W, R_cap - M), -1, jnp.int32)], axis=1
+    )
+    p_row_scores = jnp.concatenate(
+        [p_scores, jnp.full((W, R_cap - M), NEG_INF)], axis=1
+    )
+    er = jnp.where(enforce_mask, enforce_rows, N_cap)
+    counts3 = counts2.at[er].set(p_count, mode="drop")
+    pf_codes, pf_w2 = fused_rows_for(p_row_ids)
+
+    # -- assemble the write streams -------------------------------------
+    def adj_img(ids_img, scores_img):
+        # lane layout: [ids R_cap | -1 pad to 64 | score bits R_cap | 0 pad]
+        bits = jax.lax.bitcast_convert_type(scores_img, jnp.int32)
+        return jnp.concatenate(
+            [
+                ids_img,
+                jnp.full((W, 64 - R_cap), -1, jnp.int32),
+                bits,
+                jnp.zeros((W, 64 - R_cap), jnp.int32),
+            ],
+            axis=1,
+        )
+
+    def w2_img(w2_vals):
+        bits = jax.lax.bitcast_convert_type(w2_vals.astype(jnp.float32), jnp.int32)
+        return jnp.concatenate(
+            [bits, jnp.zeros((W, 128 - R_cap), jnp.int32)], axis=1
+        )
+
+    a_rows = (safe_wave[0] >> 3) + jnp.arange(W // 8, dtype=jnp.int32)
+    a_adj = adj_img(row_ids, row_scores).reshape(W // 8, 8, 128)
+    a_w2 = w2_img(f_w2).reshape(W // 8, 8, 128)
+
+    # merged patch stream: appends (scalar patches) + enforce images,
+    # sorted by logical row.  Appends into enforce rows are excluded (the
+    # enforce image is the complete row); ``in_er`` also feeds the fused
+    # kernel's patch mask.
+    in_er = jnp.any(key_sorted[:, None] == er[None, :], axis=1)
+    p_ok = ok & ~in_er
+    app_key = jnp.where(p_ok, t_ok, big)
+    app_id = s_sorted
+    app_sc = jax.lax.bitcast_convert_type(sc_sorted, jnp.int32)
+    app_w2 = jax.lax.bitcast_convert_type(
+        node_const[jnp.maximum(s_sorted, 0)].astype(jnp.float32), jnp.int32
+    )
+    er_key = jnp.where(enforce_mask, enforce_rows, big)
+    zero_w = jnp.zeros((W,), jnp.int32)
+    m_key = jnp.concatenate([app_key, er_key])
+    m_slot = jnp.concatenate([scatter_slot, zero_w])
+    m_id = jnp.concatenate([app_id, zero_w])
+    m_sc = jnp.concatenate([app_sc, zero_w])
+    m_w2 = jnp.concatenate([app_w2, zero_w])
+    m_img = jnp.concatenate(
+        [jnp.full((W * M,), -1, jnp.int32), jnp.arange(W, dtype=jnp.int32)]
+    )
+    m_key, m_slot, m_id, m_sc, m_w2, m_img = jax.lax.sort(
+        (m_key, m_slot, m_id, m_sc, m_w2, m_img), num_keys=1
+    )
+    e_adj_img = adj_img(p_row_ids, p_row_scores)
+    e_w2_img = w2_img(pf_w2)
+
+    # fused-table streams (unchanged contract, see _wave_update_fused)
+    wave_in_er = jnp.any(scatter_rows[:, None] == er[None, :], axis=1)
+    f_rows_a = jnp.where(wave_in_er, N_cap, scatter_rows)
+    f_p_rows = jnp.where(p_ok, t_ok, -1)
+    f_src_codes = codes_packed[jnp.maximum(s_sorted, 0)]
+
+    # -- bookkeeping ----------------------------------------------------
+    n_new = jnp.sum(wave_valid).astype(jnp.int32)
+    entry2 = jnp.where(
+        entry_node >= 0,
+        entry_node,
+        jnp.where(n_new > 0, safe_wave[0], -1),
+    ).astype(jnp.int32)
+    num2 = num_nodes + n_new
+
+    return (
+        counts3,
+        entry2,
+        num2,
+        (a_rows, a_adj, a_w2, m_key, m_slot, m_id, m_sc, m_w2, m_img,
+         e_adj_img, e_w2_img),
+        (f_rows_a, f_codes, f_p_rows, scatter_slot, f_src_codes, er, pf_codes),
+    )
+
+
+@partial(jax.jit, static_argnames=("mp",), donate_argnums=(0, 1, 2))
+def _wave_apply_packed(
+    adj: jax.Array,  # [N/8, 8, 128] i32 — DONATED
+    w2t: jax.Array,  # [N/8, 8, 128] i32 — DONATED
+    fused_packed: jax.Array,  # [N, T, 128] u8 — DONATED
+    adj_stream: tuple,
+    fused_stream: tuple,
+    mp: int,
+):
+    """Write-only apply program: two aliased Pallas calls (packed adjacency
+    + fused code table), no gathers of the donated tables."""
+    from jvector_tpu.ops.pallas.packed_adj import packed_adj_update_auto
+
+    (a_rows, a_adj, a_w2, m_key, m_slot, m_id, m_sc, m_w2, m_img,
+     e_adj_img, e_w2_img) = adj_stream
+    n_pr = adj.shape[0]
+    prow = jnp.where(m_key < n_pr * 8, m_key >> 3, jnp.int32(2**30))
+    sub = m_key & 7
+    adj, w2t = packed_adj_update_auto(
+        adj, w2t, a_rows, a_adj, a_w2, prow, sub, m_slot, m_id, m_sc, m_w2,
+        m_img, e_adj_img, e_w2_img,
+    )
+
+    from jvector_tpu.ops.pallas.scatter_rows import fused_update_auto
+
+    (f_rows_a, f_codes, f_p_rows, f_slots, f_src_codes, er, pf_codes) = (
+        fused_stream
+    )
+    t3 = fused_packed.shape[1]
+    w = f_codes.shape[0]
+    fused_packed = fused_update_auto(
+        fused_packed,
+        f_rows_a,
+        f_codes.reshape(w, t3, 128),
+        f_p_rows,
+        f_slots,
+        f_src_codes,
+        er,
+        pf_codes.reshape(w, t3, 128),
+        mp,
+    )
+    return adj, w2t, fused_packed
+
+
+def _packed_build_eligible(cfg: GraphConfig, mp: int, n_cap: int) -> bool:
+    """Whether the packed-adjacency wave loop applies (see module comment)."""
+    from jvector_tpu.ops.pallas.packed_adj import _CHUNK
+    from jvector_tpu.ops.pallas.scatter_rows import fused_update_supported
+
+    w = cfg.wave_size
+    return (
+        cfg.row_cap <= 64
+        and w % 8 == 0
+        and (w * (cfg.max_degree + 1)) % _CHUNK == 0
+        and n_cap % 8 == 0
+        and (cfg.row_cap * mp) % 1024 == 0
+        and fused_update_supported(3, mp)
+    )
+
+
+def _pack_adjacency(layer: GraphLayer, r_cap: int) -> jax.Array:
+    """GraphLayer -> packed [N/8, 8, 128] i32 adjacency (build-loop entry)."""
+    n = layer.neighbors.shape[0]
+    bits = jax.lax.bitcast_convert_type(layer.scores, jnp.int32)
+    flat = jnp.concatenate(
+        [
+            layer.neighbors,
+            jnp.full((n, 64 - r_cap), -1, jnp.int32),
+            bits,
+            jnp.zeros((n, 64 - r_cap), jnp.int32),
+        ],
+        axis=1,
+    )
+    return flat.reshape(n // 8, 8, 128)
+
+
+def _unpack_adjacency(
+    adj: jax.Array, counts: jax.Array, r_cap: int
+) -> GraphLayer:
+    """Packed adjacency -> GraphLayer arrays (build-loop exit)."""
+    n = adj.shape[0] * 8
+    flat = adj.reshape(n, 128)
+    return GraphLayer(
+        neighbors=flat[:, :r_cap],
+        scores=jax.lax.bitcast_convert_type(
+            flat[:, 64 : 64 + r_cap], jnp.float32
+        ),
+        counts=counts,
+    )
+
+
 @partial(jax.jit, static_argnames=("config", "chunk"), donate_argnums=(0,))
 def _enforce_chunk(
     graph: GraphIndex, provider, start: jax.Array, config: GraphConfig, chunk: int
@@ -805,7 +1205,61 @@ class GraphIndexBuilder:
             t_phase = _time.time()
         graph = empty_graph(n_cap, cfg)
 
-        if build_provider is not provider:
+        if build_provider is not provider and _packed_build_eligible(
+            cfg, build_provider.codes_packed.shape[1], n_cap
+        ):
+            # Packed-adjacency fused build (r4): neighbors+scores live in
+            # one [N/8, 8, 128] i32 table and w2 in a second, both updated
+            # in place by a write-only Pallas program — the XLA scatters
+            # they replace defensively copied all three tables every wave
+            # (22 ms of an 83 ms wave at 1M).  See the module comment above
+            # _wave_update_compute for the three-program structure.
+            mp = build_provider.codes_packed.shape[1]
+            k_row = cfg.row_cap * mp
+            fused_packed = jnp.zeros((n_cap, k_row // 128, 128), jnp.uint8)
+            adj = _pack_adjacency(graph.base, cfg.row_cap)
+            w2t = jnp.zeros((n_cap // 8, 8, 128), jnp.int32)
+            counts = graph.base.counts
+            entry = graph.entry_node
+            num_nodes = graph.num_nodes
+            const = (
+                build_provider.node_norm2
+                if sim == SimilarityFunction.COSINE
+                else build_provider.node_w2
+            )
+            codes_packed = build_provider.codes_packed
+            seeds = _EntrySeedSampler(n, w, cfg.build_entry_seeds)
+            for start in _shuffled_wave_starts(n, w):
+                ids = np.arange(start, start + w, dtype=np.int32)
+                ids = np.where(ids < n, ids, -1)
+                ids_dev = jnp.asarray(ids)
+                wv = vectors[jnp.minimum(ids_dev, n - 1)]
+                bp = dataclasses.replace(
+                    build_provider, fused_packed=fused_packed, fused_w2=w2t
+                )
+                beam_ids, beam_scores = _wave_search(
+                    adj, bp, entry, ids_dev, wv, cfg, seeds.sample()
+                )
+                seeds.record(ids)
+                counts, entry, num_nodes, adj_stream, fused_stream = (
+                    _wave_update_compute(
+                        adj, counts, entry, num_nodes, provider,
+                        codes_packed, const, ids_dev, wv,
+                        beam_ids, beam_scores, cfg,
+                    )
+                )
+                adj, w2t, fused_packed = _wave_apply_packed(
+                    adj, w2t, fused_packed, adj_stream, fused_stream, mp
+                )
+            graph = GraphIndex(
+                layers=(_unpack_adjacency(adj, counts, cfg.row_cap),)
+                + graph.layers[1:],
+                level_node_ids=graph.level_node_ids,
+                entry_node=entry,
+                num_nodes=num_nodes,
+                deleted=graph.deleted,
+            )
+        elif build_provider is not provider:
             # Fused-SQ4 construction: maintain incremental fused code tables
             # so every wave search gathers ONE row per expansion (Q*E rows)
             # instead of one row per scored edge (Q*E*R rows) — row-count-

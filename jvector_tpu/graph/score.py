@@ -623,7 +623,16 @@ class SQ4ScoreProvider:
         q = node_ids.shape[0]
         mp = self.mp
         rows = self.fused_packed[node_ids]  # [Q, (E,) R*MP]
-        w2 = self.fused_w2[node_ids]  # [Q, (E,) R]
+        if self.fused_w2.ndim == 3:
+            # builder packed layout [N/8, 8, 128] int32 (f32 bits in lanes
+            # [0:R]): one 512-byte physical-row gather per expanded node,
+            # kept in place by the packed-adjacency Pallas update
+            fp = self.fused_packed.shape
+            r = (fp[1] * fp[2] if len(fp) == 3 else fp[1]) // mp
+            w2r = self.fused_w2[node_ids >> 3, node_ids & 7]  # [Q,(E,) 128]
+            w2 = jax.lax.bitcast_convert_type(w2r, jnp.float32)[..., :r]
+        else:
+            w2 = self.fused_w2[node_ids]  # [Q, (E,) R]
         rows = rows.reshape(q, -1, mp)  # [Q, E*R, MP]
         w2 = w2.reshape(q, -1)
         k = unpack_nibble_rows_grouped(rows).astype(jnp.float32)  # [Q, E*R, D]

@@ -140,10 +140,11 @@ def _merge_beam(beam_ids, beam_scores, beam_expanded, new_ids, new_scores):
         "stop_threshold",
         "stop_patience",
         "result_k",
+        "packed_rows",
     ),
 )
 def search_layer(
-    graph_neighbors: jax.Array,  # int32 [N, R]
+    graph_neighbors: jax.Array,  # int32 [N, R] (or packed [N/8, 8, 128])
     provider,
     qstate,
     entry_ids: jax.Array,  # int32 [Q] or [Q, E0] initial candidates
@@ -157,6 +158,10 @@ def search_layer(
     init_state: BeamState | None = None,
     accept: jax.Array | None = None,  # bool [N]: filtered search when given
     result_k: int | None = None,  # result-channel width in filtered mode
+    packed_rows: int | None = None,  # builder packed-adjacency mode: the
+    # graph is ``[N/8, 8, 128]`` int32 (ids in lanes [0:packed_rows], f32
+    # score bits in [64:64+R]); the body gathers one 512-byte physical row
+    # per expansion — same row-count-bound gather cost as a [N, R] table
 ) -> BeamState:
     """Run beam search to quiescence on one adjacency layer.
 
@@ -174,7 +179,10 @@ def search_layer(
     34-38% of expansions; 24 retains 97.8-100%, 16 saves ~62% at 97.8-100%
     (see tests/test_search_api.py::test_threshold_patience_retention).
     """
-    N, R = graph_neighbors.shape
+    if packed_rows is not None:
+        R = packed_rows
+    else:
+        _, R = graph_neighbors.shape
     L = beam_width
     E = expand_per_iter
     filtered = accept is not None
@@ -319,7 +327,11 @@ def search_layer(
         )
 
         # expand neighbors of all E pops at once
-        nbrs = graph_neighbors[safe_sel].reshape(s.ids.shape[0], -1)  # [Q, E*R]
+        if packed_rows is not None:
+            prows = graph_neighbors[safe_sel >> 3, safe_sel & 7]  # [Q, E, 128]
+            nbrs = prows[..., :R].reshape(s.ids.shape[0], -1)  # [Q, E*R]
+        else:
+            nbrs = graph_neighbors[safe_sel].reshape(s.ids.shape[0], -1)
         valid = (nbrs >= 0) & jnp.repeat(active, R, axis=1)
         nbrs = jnp.where(valid, nbrs, -1)
 

@@ -565,17 +565,25 @@ def fused_update_patch_meta(
     lo = patch_slots * mp
     hi = lo + mp
     q = lo // 128
-    pos = jnp.arange(p, dtype=jnp.int32)
-    is_end = jnp.concatenate(
-        [patch_rows[1:] != patch_rows[:-1], jnp.ones((1,), bool)]
-    )
-    big = jnp.int32(2**30)
-    run_end = jax.lax.associative_scan(
-        jnp.minimum, jnp.where(is_end, pos, big), reverse=True
-    )
     chunk = _patch_chunk(p, t, chunk_hint)
-    chunk_end = (pos // chunk) * chunk + (chunk - 1)
-    patch_last = jnp.minimum(run_end, chunk_end) - (pos // chunk) * chunk
+    # chunk-local last-occurrence via a per-chunk equality matrix — NOT a
+    # scan: associative_scan/cummin over a computed input lowers to a
+    # sequential TPU while-loop (measured 22 ms at P=256 in the packed-adj
+    # twin of this meta, r4; the r3 "chunked-copy while loops" in the wave
+    # update were partly THIS).  Pad to a chunk multiple first; padded
+    # entries form their own run at the end so the slice back is exact.
+    pad = (-p) % chunk
+    rows_p = (
+        jnp.concatenate([patch_rows, jnp.full((pad,), jnp.int32(2**30))])
+        if pad
+        else patch_rows
+    )
+    x = rows_p.reshape(-1, chunk)
+    j = jnp.arange(chunk, dtype=jnp.int32)
+    eq = x[:, :, None] == x[:, None, :]
+    patch_last = jnp.max(
+        jnp.where(eq, j[None, None, :], -1), axis=2
+    ).reshape(-1)[:p]
     if mp % 128 == 0:
         img = patch_src.reshape(p, mp // 128, 128)
     else:
