@@ -86,6 +86,29 @@ def _upload_chunked(arr: np.ndarray, max_bytes: int = 512 << 20) -> jax.Array:
     return dst
 
 
+def _download_unpack_adj(
+    adj: jax.Array, r_cap: int, max_bytes: int = 256 << 20
+) -> tuple[np.ndarray, np.ndarray]:
+    """Packed ``[N/8, 8, 128]`` int32 adjacency -> host ``(neighbors,
+    scores)`` ``[N, r_cap]`` arrays, downloaded in bounded chunks.
+
+    The caller frees ``adj`` before uploading the halves — unpacking on
+    device would hold both layouts at once (15.4 GB at 10M, over HBM)."""
+    n_pr = adj.shape[0]
+    n = n_pr * 8
+    nb = np.empty((n, r_cap), np.int32)
+    sc = np.empty((n, r_cap), np.float32)
+    chunk = max(1, max_bytes // (8 * 128 * 4))
+    for a in range(0, n_pr, chunk):
+        b = min(a + chunk, n_pr)
+        blk = np.asarray(adj[a:b]).reshape(-1, 128)
+        nb[a * 8 : b * 8] = blk[:, :r_cap]
+        sc[a * 8 : b * 8] = np.ascontiguousarray(
+            blk[:, 64 : 64 + r_cap]
+        ).view(np.float32)
+    return nb, sc
+
+
 # device-memory budget for the incremental fused table during LTM builds;
 # past it the build falls back to plain augmented-row searches (the 100M
 # regime).  Module-level so tests can force the non-fused path at small n.
@@ -556,6 +579,15 @@ def _build_on_disk_ltm_sq4(
         and (mp % 128 == 0 or 128 % mp == 0)
         and fused_bytes < _FUSED_BUILD_BUDGET
     )
+    # Past the fused budget (the 10M+/100M regime) the adjacency itself
+    # switches to the packed [N/8, 8, 128] int32 layout updated in place
+    # by the adj-only Pallas apply: HALF the graph HBM of the lane-padded
+    # [N, R] pair (5.1 GB vs 10.2 GB at 10M) and no per-wave XLA scatter
+    # copies (which scale with table size).  See builder.py's packed-wave
+    # module comment.
+    from jvector_tpu.graph.builder import _packed_adj_eligible
+
+    packed_build = (not fused_build) and _packed_adj_eligible(config, n_cap)
     # non-fused builds keep ONE device copy of the codes (inside the aug
     # rows); a separate codes array duplicated 1.25 GB (padded) at 10M and
     # tipped HBM over the compile budget.  The fused path needs the real
@@ -582,6 +614,13 @@ def _build_on_disk_ltm_sq4(
     log = logging.getLogger(__name__)
     if fused_build:
         from jvector_tpu.graph.builder import _wave_search, _wave_update_fused
+    if packed_build:
+        from jvector_tpu.graph.builder import (
+            _pack_adjacency,
+            _wave_apply_adj_only,
+            _wave_search,
+            _wave_update_compute,
+        )
 
     w = config.wave_size
     n_waves = (n + w - 1) // w
@@ -591,6 +630,7 @@ def _build_on_disk_ltm_sq4(
         int(ckpt["meta"]["n_cap"]) != n_cap
         or int(ckpt["meta"]["row_cap"]) != config.row_cap
         or bool(ckpt["meta"]["fused"]) != fused_build
+        or bool(ckpt["meta"].get("packed", False)) != packed_build
     ):
         log.warning("checkpoint %s: layout mismatch, rebuilding", ckpt_file)
         ckpt, sq = None, _fit_sq()
@@ -611,19 +651,26 @@ def _build_on_disk_ltm_sq4(
         r = ckpt["reader"]
         from jvector_tpu.graph.index import GraphLayer
 
-        graph = GraphIndex(
-            layers=(
-                GraphLayer(
-                    neighbors=_upload_chunked(r.read("graph/L0/neighbors")),
-                    scores=_upload_chunked(r.read("graph/L0/scores")),
-                    counts=_upload_chunked(r.read("graph/L0/counts")),
+        if packed_build:
+            graph = None
+            adj = _upload_chunked(r.read("state/adj_packed"))
+            counts = _upload_chunked(r.read("graph/L0/counts"))
+            entry = jnp.int32(int(ckpt["meta"]["entry_node"]))
+            num_nodes = jnp.int32(int(ckpt["meta"]["num_nodes"]))
+        else:
+            graph = GraphIndex(
+                layers=(
+                    GraphLayer(
+                        neighbors=_upload_chunked(r.read("graph/L0/neighbors")),
+                        scores=_upload_chunked(r.read("graph/L0/scores")),
+                        counts=_upload_chunked(r.read("graph/L0/counts")),
+                    ),
                 ),
-            ),
-            level_node_ids=(),
-            entry_node=jnp.int32(int(ckpt["meta"]["entry_node"])),
-            num_nodes=jnp.int32(int(ckpt["meta"]["num_nodes"])),
-            deleted=jnp.zeros((n_cap,), bool),
-        )
+                level_node_ids=(),
+                entry_node=jnp.int32(int(ckpt["meta"]["entry_node"])),
+                num_nodes=jnp.int32(int(ckpt["meta"]["num_nodes"])),
+                deleted=jnp.zeros((n_cap,), bool),
+            )
         aug = _upload_chunked(r.read("state/aug"))
         node_w2 = _upload_chunked(r.read("state/node_w2"))
         node_norm2 = _upload_chunked(r.read("state/node_norm2"))
@@ -648,23 +695,42 @@ def _build_on_disk_ltm_sq4(
             codes = jnp.zeros((n_cap, mp), jnp.uint8)
         else:
             codes = None  # aug-backed provider (one device copy of the codes)
+        if packed_build:
+            adj = _pack_adjacency(graph.base, config.row_cap)
+            counts = graph.base.counts
+            entry = graph.entry_node
+            num_nodes = graph.num_nodes
+            graph = None  # the packed table IS the graph until unpack
         writer = IndexFileWriter(path)
         writer.reserve_array(
             f"feature/{FeatureId.INLINE_VECTORS}/vectors", (n, dim), np.float32
         )
 
     def _checkpoint(wi_done: int) -> None:
-        jax.block_until_ready(graph.base.neighbors)
-        arrs = {
-            "graph/L0/neighbors": (graph.base.neighbors, np.int32),
-            "graph/L0/scores": (graph.base.scores, np.float32),
-            "graph/L0/counts": (graph.base.counts, np.int32),
-            "state/aug": (aug, np.uint8),
-            "state/node_w2": (node_w2, np.float32),
-            "state/node_norm2": (node_norm2, np.float32),
-            "sq/scale": (sq.scale, np.float32),
-            "sq/offset": (sq.offset, np.float32),
-        }
+        if packed_build:
+            jax.block_until_ready(adj)
+            arrs = {
+                "state/adj_packed": (adj, np.int32),
+                "graph/L0/counts": (counts, np.int32),
+            }
+            ckpt_entry, ckpt_num = int(entry), int(num_nodes)
+        else:
+            jax.block_until_ready(graph.base.neighbors)
+            arrs = {
+                "graph/L0/neighbors": (graph.base.neighbors, np.int32),
+                "graph/L0/scores": (graph.base.scores, np.float32),
+                "graph/L0/counts": (graph.base.counts, np.int32),
+            }
+            ckpt_entry, ckpt_num = int(graph.entry_node), int(graph.num_nodes)
+        arrs.update(
+            {
+                "state/aug": (aug, np.uint8),
+                "state/node_w2": (node_w2, np.float32),
+                "state/node_norm2": (node_norm2, np.float32),
+                "sq/scale": (sq.scale, np.float32),
+                "sq/offset": (sq.offset, np.float32),
+            }
+        )
         if fused_build:
             arrs["state/codes"] = (codes, np.uint8)
             arrs["state/fused_packed"] = (fused_packed, np.uint8)
@@ -675,12 +741,20 @@ def _build_on_disk_ltm_sq4(
                 n=n, dim=dim, compression="sq4", sim=str(sim.value),
                 seed=seed, **_config_knobs(config),
                 n_cap=n_cap, row_cap=config.row_cap, fused=fused_build,
-                entry_node=int(graph.entry_node),
-                num_nodes=int(graph.num_nodes),
+                packed=packed_build,
+                entry_node=ckpt_entry,
+                num_nodes=ckpt_num,
                 sq_original_dim=sq.original_dim,
             ),
         )
         log.info("ltm checkpoint at wave %d/%d", wi_done, n_waves)
+
+    if packed_build:
+        # placeholder args for _wave_update_compute's fused-only params
+        # (with_fused=False never touches them; tiny fixed shapes keep the
+        # jit cache stable across waves)
+        _PACKED_DUMMY_CODES = jnp.zeros((8, 2), jnp.uint8)
+        _PACKED_DUMMY_CONST = jnp.zeros((8,), jnp.float32)
 
     t_wave = _time.time()
     for wi, start in enumerate(_shuffled_wave_starts(n, w)):
@@ -689,7 +763,7 @@ def _build_on_disk_ltm_sq4(
         if wi and wi % 256 == 0:
             # bounded sync: surfaces async device faults at an attributable
             # wave instead of at save time, and keeps the dispatch queue short
-            jax.block_until_ready(graph.base.neighbors)
+            jax.block_until_ready(adj if packed_build else graph.base.neighbors)
             log.info(
                 "ltm build wave %d/%d (%.1fs)",
                 wi, (n + w - 1) // w, _time.time() - t_wave,
@@ -738,6 +812,22 @@ def _build_on_disk_ltm_sq4(
                 graph, fused_packed, fused_w2, provider, codes, node_const,
                 ids_dev, wave, beam_ids, beam_scores, config,
             )
+        elif packed_build:
+            # packed three-program wave (builder.py packed-wave comment):
+            # read-only search on the packed table, read+compute against
+            # pre-state, aliased adj-only Pallas apply.  rescore=False /
+            # same-provider mirrors the _insert_wave LTM semantics.
+            ids_dev = jnp.asarray(ids)
+            beam_ids, beam_scores = _wave_search(
+                adj, provider, entry, ids_dev, wave, config, seed_dev
+            )
+            counts, entry, num_nodes, adj_stream, _ = _wave_update_compute(
+                adj, counts, entry, num_nodes, provider,
+                _PACKED_DUMMY_CODES, _PACKED_DUMMY_CONST, ids_dev, wave,
+                beam_ids, beam_scores, config,
+                rescore=False, with_fused=False,
+            )
+            adj = _wave_apply_adj_only(adj, adj_stream)
         else:
             graph = _insert_wave(
                 graph, provider, jnp.asarray(ids), wave, config,
@@ -752,6 +842,31 @@ def _build_on_disk_ltm_sq4(
             _checkpoint(wi + 1)
 
     provider = make_provider(codes, node_w2, node_norm2, aug)
+    if packed_build:
+        # unpack via a host round-trip: on-device unpack would hold the
+        # packed table (5.1 GB at 10M) AND the lane-padded halves (10.2 GB)
+        # at once — over HBM.  Download packed chunks, free the table,
+        # upload the halves; peak device = max of the two layouts + chunk.
+        jax.block_until_ready(adj)
+        log.info("ltm packed waves done (%.1fs); unpack", _time.time() - t_wave)
+        nb_np, sc_np = _download_unpack_adj(adj, config.row_cap)
+        del adj
+        from jvector_tpu.graph.index import GraphLayer
+
+        graph = GraphIndex(
+            layers=(
+                GraphLayer(
+                    neighbors=_upload_chunked(nb_np),
+                    scores=_upload_chunked(sc_np),
+                    counts=counts,
+                ),
+            ),
+            level_node_ids=(),
+            entry_node=entry,
+            num_nodes=num_nodes,
+            deleted=jnp.zeros((n_cap,), bool),
+        )
+        del nb_np, sc_np
     jax.block_until_ready(graph.base.neighbors)
     if fused_build:
         # cleanup rewrites rows wholesale; the save phase rebuilds the

@@ -719,23 +719,31 @@ def _intra_wave_scores(prune_provider, prune_qstate, wave_vectors, safe_wave):
     )
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "rescore", "with_fused"))
 def _wave_update_compute(
     adj: jax.Array,  # [N/8, 8, 128] i32 packed adjacency (READ-ONLY here)
     counts: jax.Array,  # [N] i32
     entry_node: jax.Array,
     num_nodes: jax.Array,
     prune_provider,  # full-precision provider (rescore + prune)
-    codes_packed: jax.Array,  # uint8 [N_cap, MP]
-    node_const: jax.Array,  # f32 [N_cap]
+    codes_packed: jax.Array,  # uint8 [N_cap, MP] (unused if not with_fused)
+    node_const: jax.Array,  # f32 [N_cap] (unused if not with_fused)
     wave_ids: jax.Array,  # int32 [W] contiguous ascending, -1 padded
     wave_vectors: jax.Array,  # float32 [W, D]
     beam_ids: jax.Array,  # int32 [W, ef]
     beam_scores: jax.Array,  # float32 [W, ef]
     config: GraphConfig,
+    rescore: bool = True,  # re-rank merged candidates with prune_provider
+    #   (True when it is a higher-precision provider than the search's;
+    #   False mirrors _wave_update_plain's same-provider LTM path)
+    with_fused: bool = True,  # also emit fused-table + w2 write streams
 ):
     """Read+compute half of the packed wave update.  Returns the write
-    streams for :func:`_wave_apply_packed` plus updated counts/bookkeeping."""
+    streams for :func:`_wave_apply_packed` plus updated counts/bookkeeping.
+
+    With ``with_fused=False`` (the LTM non-fused / 100M regime) the adj
+    stream omits the w2 components and ``fused_stream`` is ``None``:
+    ``(a_rows, a_adj, m_key, m_slot, m_id, m_sc, m_img, e_adj_img)``."""
     W = wave_ids.shape[0]
     N_cap = adj.shape[0] * 8
     R_cap = config.row_cap
@@ -767,8 +775,11 @@ def _wave_update_compute(
     cand_scores = jnp.concatenate([beam_scores, intra_top_scores], axis=1)
     cand_ids, cand_scores = dedup_sorted_desc(cand_ids, cand_scores)
     valid = cand_ids >= 0
-    rescored = prune_provider.score(prune_qstate, jnp.maximum(cand_ids, 0))
-    cand_scores = jnp.where(valid, rescored, NEG_INF)
+    if rescore:
+        rescored = prune_provider.score(prune_qstate, jnp.maximum(cand_ids, 0))
+        cand_scores = jnp.where(valid, rescored, NEG_INF)
+    else:
+        cand_scores = jnp.where(valid, cand_scores, NEG_INF)
     cand_scores = tie_break_scores(safe_wave, cand_ids, cand_scores)
     order = jnp.argsort(-cand_scores, axis=1)
     cand_ids = jnp.take_along_axis(cand_ids, order, axis=1)
@@ -802,7 +813,8 @@ def _wave_update_compute(
         f_w2 = jnp.where(ok, node_const[safe], 0.0)
         return f_codes.reshape(ids_rows.shape[0], -1), f_w2
 
-    f_codes, f_w2 = fused_rows_for(row_ids)
+    if with_fused:
+        f_codes, f_w2 = fused_rows_for(row_ids)
 
     # -- 4b. backlinks: dedup against PRE-state + intra-wave overlay ----
     flat_t = sel_ids.reshape(-1)
@@ -891,7 +903,8 @@ def _wave_update_compute(
     )
     er = jnp.where(enforce_mask, enforce_rows, N_cap)
     counts3 = counts2.at[er].set(p_count, mode="drop")
-    pf_codes, pf_w2 = fused_rows_for(p_row_ids)
+    if with_fused:
+        pf_codes, pf_w2 = fused_rows_for(p_row_ids)
 
     # -- assemble the write streams -------------------------------------
     def adj_img(ids_img, scores_img):
@@ -915,7 +928,6 @@ def _wave_update_compute(
 
     a_rows = (safe_wave[0] >> 3) + jnp.arange(W // 8, dtype=jnp.int32)
     a_adj = adj_img(row_ids, row_scores).reshape(W // 8, 8, 128)
-    a_w2 = w2_img(f_w2).reshape(W // 8, 8, 128)
 
     # merged patch stream: appends (scalar patches) + enforce images,
     # sorted by logical row.  Appends into enforce rows are excluded (the
@@ -926,30 +938,16 @@ def _wave_update_compute(
     app_key = jnp.where(p_ok, t_ok, big)
     app_id = s_sorted
     app_sc = jax.lax.bitcast_convert_type(sc_sorted, jnp.int32)
-    app_w2 = jax.lax.bitcast_convert_type(
-        node_const[jnp.maximum(s_sorted, 0)].astype(jnp.float32), jnp.int32
-    )
     er_key = jnp.where(enforce_mask, enforce_rows, big)
     zero_w = jnp.zeros((W,), jnp.int32)
     m_key = jnp.concatenate([app_key, er_key])
     m_slot = jnp.concatenate([scatter_slot, zero_w])
     m_id = jnp.concatenate([app_id, zero_w])
     m_sc = jnp.concatenate([app_sc, zero_w])
-    m_w2 = jnp.concatenate([app_w2, zero_w])
     m_img = jnp.concatenate(
         [jnp.full((W * M,), -1, jnp.int32), jnp.arange(W, dtype=jnp.int32)]
     )
-    m_key, m_slot, m_id, m_sc, m_w2, m_img = jax.lax.sort(
-        (m_key, m_slot, m_id, m_sc, m_w2, m_img), num_keys=1
-    )
     e_adj_img = adj_img(p_row_ids, p_row_scores)
-    e_w2_img = w2_img(pf_w2)
-
-    # fused-table streams (unchanged contract, see _wave_update_fused)
-    wave_in_er = jnp.any(scatter_rows[:, None] == er[None, :], axis=1)
-    f_rows_a = jnp.where(wave_in_er, N_cap, scatter_rows)
-    f_p_rows = jnp.where(p_ok, t_ok, -1)
-    f_src_codes = codes_packed[jnp.maximum(s_sorted, 0)]
 
     # -- bookkeeping ----------------------------------------------------
     n_new = jnp.sum(wave_valid).astype(jnp.int32)
@@ -959,6 +957,34 @@ def _wave_update_compute(
         jnp.where(n_new > 0, safe_wave[0], -1),
     ).astype(jnp.int32)
     num2 = num_nodes + n_new
+
+    if not with_fused:
+        m_key, m_slot, m_id, m_sc, m_img = jax.lax.sort(
+            (m_key, m_slot, m_id, m_sc, m_img), num_keys=1
+        )
+        return (
+            counts3,
+            entry2,
+            num2,
+            (a_rows, a_adj, m_key, m_slot, m_id, m_sc, m_img, e_adj_img),
+            None,
+        )
+
+    a_w2 = w2_img(f_w2).reshape(W // 8, 8, 128)
+    app_w2 = jax.lax.bitcast_convert_type(
+        node_const[jnp.maximum(s_sorted, 0)].astype(jnp.float32), jnp.int32
+    )
+    m_w2 = jnp.concatenate([app_w2, zero_w])
+    m_key, m_slot, m_id, m_sc, m_w2, m_img = jax.lax.sort(
+        (m_key, m_slot, m_id, m_sc, m_w2, m_img), num_keys=1
+    )
+    e_w2_img = w2_img(pf_w2)
+
+    # fused-table streams (unchanged contract, see _wave_update_fused)
+    wave_in_er = jnp.any(scatter_rows[:, None] == er[None, :], axis=1)
+    f_rows_a = jnp.where(wave_in_er, N_cap, scatter_rows)
+    f_p_rows = jnp.where(p_ok, t_ok, -1)
+    f_src_codes = codes_packed[jnp.maximum(s_sorted, 0)]
 
     return (
         counts3,
@@ -1014,10 +1040,25 @@ def _wave_apply_packed(
     return adj, w2t, fused_packed
 
 
-def _packed_build_eligible(cfg: GraphConfig, mp: int, n_cap: int) -> bool:
-    """Whether the packed-adjacency wave loop applies (see module comment)."""
+@partial(jax.jit, donate_argnums=(0,))
+def _wave_apply_adj_only(adj: jax.Array, adj_stream: tuple) -> jax.Array:
+    """Write-only apply for the non-fused packed build (LTM / 100M regime):
+    one aliased Pallas call on the packed adjacency, no fused tables."""
+    from jvector_tpu.ops.pallas.packed_adj import packed_adj_only_update_auto
+
+    (a_rows, a_adj, m_key, m_slot, m_id, m_sc, m_img, e_adj_img) = adj_stream
+    n_pr = adj.shape[0]
+    prow = jnp.where(m_key < n_pr * 8, m_key >> 3, jnp.int32(2**30))
+    sub = m_key & 7
+    return packed_adj_only_update_auto(
+        adj, a_rows, a_adj, prow, sub, m_slot, m_id, m_sc, m_img, e_adj_img
+    )
+
+
+def _packed_adj_eligible(cfg: GraphConfig, n_cap: int) -> bool:
+    """Whether the packed [N/8, 8, 128] adjacency layout applies at all
+    (layout + patch-stream alignment; no fused-table conditions)."""
     from jvector_tpu.ops.pallas.packed_adj import _CHUNK
-    from jvector_tpu.ops.pallas.scatter_rows import fused_update_supported
 
     w = cfg.wave_size
     return (
@@ -1025,6 +1066,15 @@ def _packed_build_eligible(cfg: GraphConfig, mp: int, n_cap: int) -> bool:
         and w % 8 == 0
         and (w * (cfg.max_degree + 1)) % _CHUNK == 0
         and n_cap % 8 == 0
+    )
+
+
+def _packed_build_eligible(cfg: GraphConfig, mp: int, n_cap: int) -> bool:
+    """Whether the packed-adjacency wave loop applies (see module comment)."""
+    from jvector_tpu.ops.pallas.scatter_rows import fused_update_supported
+
+    return (
+        _packed_adj_eligible(cfg, n_cap)
         and (cfg.row_cap * mp) % 1024 == 0
         and fused_update_supported(3, mp)
     )

@@ -208,6 +208,139 @@ def _packed_update_kernel(n_prows: int, chunk: int, n_chunks: int, n_a: int):
     return kernel
 
 
+def _packed_update_kernel_now2(n_prows: int, chunk: int, n_chunks: int, n_a: int):
+    """Adjacency-only twin of :func:`_packed_update_kernel` (no w2 table).
+
+    The LTM non-fused build (the 100M regime, codes served from augmented
+    rows) has no fused per-slot constants — carrying a dummy ``w2t`` would
+    cost another N*512 B of HBM (5.1 GB at 10M) for writes nobody reads."""
+
+    def kernel(
+        a_rows_ref,
+        p_prow_ref,
+        p_sub_ref,
+        p_slot_ref,
+        p_id_ref,
+        p_sc_ref,
+        p_img_ref,
+        p_last_ref,
+        a_adj_ref,
+        e_adj_ref,
+        adj_ref,
+        out_adj_ref,
+        abuf,
+        sem_a,
+        sem_r,
+        sem_w,
+    ):
+        def issue_a(i, started):
+            r = a_rows_ref[i]
+            ok = (r >= 0) & (r < n_prows)
+
+            def do():
+                pltpu.make_async_copy(a_adj_ref.at[i], out_adj_ref.at[r], sem_a).start()
+                return started + 1
+
+            return jax.lax.cond(ok, do, lambda: started)
+
+        started = jax.lax.fori_loop(0, n_a, issue_a, jnp.int32(0))
+
+        def drain_a(i, _):
+            pltpu.make_async_copy(a_adj_ref.at[0], out_adj_ref.at[0], sem_a).wait()
+            return 0
+
+        jax.lax.fori_loop(0, started, drain_a, 0)
+
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+
+        def chunk_body(c, _):
+            base = c * chunk
+
+            def issue_read(i, started):
+                gi = base + i
+                r = p_prow_ref[gi]
+                ok = (r >= 0) & (r < n_prows) & (p_last_ref[gi] == i)
+
+                def do():
+                    pltpu.make_async_copy(out_adj_ref.at[r], abuf.at[i], sem_r).start()
+                    return started + 1
+
+                return jax.lax.cond(ok, do, lambda: started)
+
+            nreads = jax.lax.fori_loop(0, chunk, issue_read, jnp.int32(0))
+
+            def drain_r(i, _):
+                pltpu.make_async_copy(out_adj_ref.at[0], abuf.at[0], sem_r).wait()
+                return 0
+
+            jax.lax.fori_loop(0, nreads, drain_r, 0)
+
+            def patch(i, _):
+                gi = base + i
+                r = p_prow_ref[gi]
+                ok = (r >= 0) & (r < n_prows)
+
+                def do():
+                    b = p_last_ref[gi]
+                    sub = p_sub_ref[gi]
+                    img = p_img_ref[gi]
+                    in_sub = sub_iota == sub
+                    cur_a = abuf[b]
+
+                    def apply_img():
+                        base8 = (img // 8) * 8
+                        blk_a = e_adj_ref[pl.ds(base8, 8), :]
+                        iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                        onehot = (iota8 == img - base8).astype(jnp.int32)
+                        row_a = jnp.sum(blk_a * onehot, axis=0, keepdims=True)
+                        return jnp.where(in_sub, row_a, cur_a)
+
+                    def apply_scalar():
+                        slot = p_slot_ref[gi]
+                        return jnp.where(
+                            in_sub & (lane_iota == slot),
+                            p_id_ref[gi],
+                            jnp.where(
+                                in_sub & (lane_iota == 64 + slot),
+                                p_sc_ref[gi],
+                                cur_a,
+                            ),
+                        )
+
+                    abuf[b] = jax.lax.cond(img >= 0, apply_img, apply_scalar)
+                    return 0
+
+                jax.lax.cond(ok, do, lambda: 0)
+                return 0
+
+            jax.lax.fori_loop(0, chunk, patch, 0)
+
+            def issue_write(i, started):
+                gi = base + i
+                r = p_prow_ref[gi]
+                ok = (r >= 0) & (r < n_prows) & (p_last_ref[gi] == i)
+
+                def do():
+                    pltpu.make_async_copy(abuf.at[i], out_adj_ref.at[r], sem_w).start()
+                    return started + 1
+
+                return jax.lax.cond(ok, do, lambda: started)
+
+            nw = jax.lax.fori_loop(0, chunk, issue_write, jnp.int32(0))
+
+            def drain_w(i, _):
+                pltpu.make_async_copy(abuf.at[0], out_adj_ref.at[0], sem_w).wait()
+                return 0
+
+            jax.lax.fori_loop(0, nw, drain_w, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+    return kernel
+
+
 _BIG = jnp.int32(2**30)
 
 
@@ -362,3 +495,104 @@ def packed_adj_update_auto(adj, w2t, *args):
     if on_tpu:
         return packed_adj_update_inplace(adj, w2t, *args)
     return packed_adj_update_ref(adj, w2t, *args)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
+def packed_adj_only_update_inplace(
+    adj: jax.Array,  # [N/8, 8, 128] i32 — DONATED (STORED rank-3, see above)
+    a_rows: jax.Array,  # [Wa] i32
+    a_adj: jax.Array,  # [Wa, 8, 128] i32
+    p_prow: jax.Array,  # [P] i32 SORTED (big = drop), P % _CHUNK == 0
+    p_sub: jax.Array,  # [P] i32
+    p_slot: jax.Array,  # [P] i32
+    p_id: jax.Array,  # [P] i32
+    p_sc: jax.Array,  # [P] i32 f32 score bits
+    p_img: jax.Array,  # [P] i32 er-image index or -1
+    e_adj: jax.Array,  # [E, 128] i32 (E % 8 == 0)
+    interpret: bool = False,
+) -> jax.Array:
+    """Adjacency-only in-place wave apply (no fused-w2 table) — the LTM
+    non-fused build path.  Same contract as
+    :func:`packed_adj_update_inplace` minus the w2 streams."""
+    n_pr = adj.shape[0]
+    assert adj.shape[1:] == (8, 128)
+    assert e_adj.shape[0] % 8 == 0
+    chunk = _CHUNK
+    p = p_prow.shape[0]
+    if p % chunk:
+        raise ValueError(
+            f"patch stream length {p} must be a multiple of {chunk}; pad "
+            "with prow=2**30 entries in the producing program"
+        )
+    n_chunks = p // chunk
+    p_last = packed_patch_meta(p_prow, chunk)
+    (out_adj,) = pl.pallas_call(
+        _packed_update_kernel_now2(n_pr, chunk, n_chunks, a_rows.shape[0]),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=8,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # a_adj
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # e_adj
+                pl.BlockSpec(memory_space=pltpu.ANY),  # adj (aliased)
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((chunk, 8, 128), jnp.int32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((n_pr, 8, 128), jnp.int32)],
+        input_output_aliases={10: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        a_rows,
+        p_prow,
+        p_sub,
+        p_slot,
+        p_id,
+        p_sc,
+        p_img,
+        p_last,
+        a_adj,
+        e_adj,
+        adj,
+    )
+    return out_adj
+
+
+def packed_adj_only_update_ref(
+    adj, a_rows, a_adj, p_prow, p_sub, p_slot, p_id, p_sc, p_img, e_adj
+):
+    """jnp reference (copying) for the adj-only apply — tests / non-TPU."""
+    n_pr = adj.shape[0]
+    a3 = adj
+    a_ok = (a_rows >= 0) & (a_rows < n_pr)
+    a3 = a3.at[jnp.where(a_ok, a_rows, n_pr)].set(a_adj, mode="drop")
+    ok = (p_prow >= 0) & (p_prow < n_pr)
+    r = jnp.where(ok, p_prow, n_pr)
+    is_img = p_img >= 0
+    app = ok & ~is_img
+    ra = jnp.where(app, r, n_pr)
+    a3 = a3.at[ra, p_sub, p_slot].set(p_id, mode="drop")
+    a3 = a3.at[ra, p_sub, 64 + p_slot].set(p_sc, mode="drop")
+    im = ok & is_img
+    ri = jnp.where(im, r, n_pr)
+    safe_img = jnp.maximum(p_img, 0)
+    a3 = a3.at[ri, p_sub].set(e_adj[safe_img], mode="drop")
+    return a3
+
+
+def packed_adj_only_update_auto(adj, *args):
+    try:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    if on_tpu:
+        return packed_adj_only_update_inplace(adj, *args)
+    return packed_adj_only_update_ref(adj, *args)
