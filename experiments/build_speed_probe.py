@@ -14,6 +14,9 @@ import time
 import numpy as np
 
 logging.basicConfig(level=logging.INFO)  # per-phase build timings
+# sitecustomize may have configured the root logger already (basicConfig
+# no-ops then) — force the level so the builder's phase logs appear
+logging.getLogger().setLevel(logging.INFO)
 
 
 def main() -> None:

@@ -9,6 +9,8 @@ import logging, os, time
 import numpy as np
 
 logging.basicConfig(level=logging.INFO)
+# sitecustomize may have configured the root logger (basicConfig no-ops)
+logging.getLogger().setLevel(logging.INFO)
 import jax, jax.numpy as jnp
 from jvector_tpu.disk.host_graph import HostGraphIndex
 from jvector_tpu.disk.host_tier import HostVectorStore

@@ -1,7 +1,9 @@
-"""Per-wave timing breakdown of the fused-SQ4 build (search vs update).
+"""Per-wave timing breakdown of the packed-adjacency fused-SQ4 build.
 
-Builds most of the graph normally, then times the two wave programs
-separately in steady state, optionally under jax.profiler.trace.
+Builds most of the graph normally, then times the three wave programs
+(read-only search / read+compute / write-only apply) separately in steady
+state, optionally under jax.profiler.trace.  Mirrors the packed branch of
+GraphIndexBuilder.build.
 """
 
 from __future__ import annotations
@@ -17,8 +19,8 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=400_000)
     p.add_argument("--dim", type=int, default=128)
-    p.add_argument("--wave", type=int, default=256)
-    p.add_argument("--expand", type=int, default=1)
+    p.add_argument("--wave", type=int, default=512)
+    p.add_argument("--expand", type=int, default=2)
     p.add_argument("--timed-waves", type=int, default=60)
     p.add_argument("--trace-dir", default="")
     args = p.parse_args()
@@ -30,8 +32,11 @@ def main() -> None:
         GraphIndexBuilder,
         _EntrySeedSampler,
         _fused_aligned_config,
+        _pack_adjacency,
+        _packed_build_eligible,
+        _wave_apply_packed,
         _wave_search,
-        _wave_update_fused,
+        _wave_update_compute,
     )
     from jvector_tpu.graph.index import GraphConfig, bucket_capacity, empty_graph
     from jvector_tpu.graph.score import ExactScoreProvider
@@ -49,7 +54,6 @@ def main() -> None:
         max_degree=32, ef_construction=100,
         wave_size=args.wave, build_expand=args.expand,
     )
-    seeds = None  # set up after n is known
     cfg = _fused_aligned_config(cfg, (args.dim + 1) // 2)
     sim = SimilarityFunction.EUCLIDEAN
     n_cap = bucket_capacity(n)
@@ -58,16 +62,17 @@ def main() -> None:
     builder = GraphIndexBuilder(cfg)
     bp0 = builder._sq4_build_provider(vectors, n_cap, sim)
     mp = bp0.codes_packed.shape[1]
+    assert _packed_build_eligible(cfg, mp, n_cap), "packed path ineligible"
     k_row = cfg.row_cap * mp
-    fused_packed = (
-        jnp.zeros((n_cap, k_row // 128, 128), jnp.uint8)
-        if k_row % 1024 == 0
-        else jnp.zeros((n_cap, k_row), jnp.uint8)
-    )
-    fused_w2 = jnp.zeros((n_cap, cfg.row_cap), jnp.float32)
+    fused_packed = jnp.zeros((n_cap, k_row // 128, 128), jnp.uint8)
+    g0 = empty_graph(n_cap, cfg)
+    adj = _pack_adjacency(g0.base, cfg.row_cap)
+    w2t = jnp.zeros((n_cap // 8, 8, 128), jnp.int32)
+    counts = g0.base.counts
+    entry = g0.entry_node
+    num_nodes = g0.num_nodes
     const = bp0.node_w2
     codes_packed = bp0.codes_packed
-    graph = empty_graph(n_cap, cfg)
 
     w = cfg.wave_size
     seeds = _EntrySeedSampler(n, w, cfg.build_entry_seeds)
@@ -75,42 +80,60 @@ def main() -> None:
     warm = starts[: -args.timed_waves]
     timed = starts[-args.timed_waves :]
 
-    def one_wave(graph, fused_packed, fused_w2, start, t_search=None, t_update=None, block=False):
+    state = dict(adj=adj, w2t=w2t, fused=fused_packed, counts=counts,
+                 entry=entry, num=num_nodes)
+
+    def one_wave(start, t_search=None, t_compute=None, t_apply=None, block=False):
         ids = np.arange(start, start + w, dtype=np.int32)
         ids = np.where(ids < n, ids, -1)
         ids_dev = jnp.asarray(ids)
         wv = vectors[jnp.minimum(ids_dev, n - 1)]
-        bp = dataclasses.replace(bp0, fused_packed=fused_packed, fused_w2=fused_w2)
+        bp = dataclasses.replace(
+            bp0, fused_packed=state["fused"], fused_w2=state["w2t"]
+        )
         t0 = time.time()
         beam_ids, beam_scores = _wave_search(
-            graph.base.neighbors, bp, graph.entry_node, ids_dev, wv, cfg,
-            seeds.sample(),
+            state["adj"], bp, state["entry"], ids_dev, wv, cfg, seeds.sample()
         )
         seeds.record(ids)
         if block:
             jax.block_until_ready(beam_ids)
             t_search.append(time.time() - t0)
             t0 = time.time()
-        graph, fused_packed, fused_w2 = _wave_update_fused(
-            graph, fused_packed, fused_w2, provider, codes_packed, const,
-            ids_dev, wv, beam_ids, beam_scores, cfg,
+        counts, entry, num, adj_stream, fused_stream = _wave_update_compute(
+            state["adj"], state["counts"], state["entry"], state["num"],
+            provider, codes_packed, const, ids_dev, wv,
+            beam_ids, beam_scores, cfg,
         )
         if block:
-            jax.block_until_ready(graph.base.counts)
-            t_update.append(time.time() - t0)
-        return graph, fused_packed, fused_w2
+            jax.block_until_ready(counts)
+            t_compute.append(time.time() - t0)
+            t0 = time.time()
+        adj2, w2t2, fused2 = _wave_apply_packed(
+            state["adj"], state["w2t"], state["fused"],
+            adj_stream, fused_stream, mp,
+        )
+        if block:
+            jax.block_until_ready(adj2)
+            t_apply.append(time.time() - t0)
+        state.update(adj=adj2, w2t=w2t2, fused=fused2, counts=counts,
+                     entry=entry, num=num)
 
     t0 = time.time()
     for i, start in enumerate(warm):
-        graph, fused_packed, fused_w2 = one_wave(graph, fused_packed, fused_w2, start)
+        one_wave(start)
         if i == 20:
-            jax.block_until_ready(graph.base.counts)
+            jax.block_until_ready(state["counts"])
             print(f"compiled+20 waves in {time.time()-t0:.1f}s", flush=True)
-    jax.block_until_ready(graph.base.counts)
+    jax.block_until_ready(state["counts"])
     warm_s = time.time() - t0
-    print(f"warm {len(warm)} waves: {warm_s:.1f}s ({warm_s/max(len(warm),1)*1000:.1f} ms/wave incl compile)", flush=True)
+    print(
+        f"warm {len(warm)} waves: {warm_s:.1f}s "
+        f"({warm_s/max(len(warm),1)*1000:.1f} ms/wave incl compile)",
+        flush=True,
+    )
 
-    ts, tu = [], []
+    ts, tc, ta = [], [], []
     ctx = (
         jax.profiler.trace(args.trace_dir)
         if args.trace_dir
@@ -118,16 +141,15 @@ def main() -> None:
     )
     with ctx:
         for start in timed:
-            graph, fused_packed, fused_w2 = one_wave(
-                graph, fused_packed, fused_w2, start, ts, tu, block=True
-            )
+            one_wave(start, ts, tc, ta, block=True)
     print(
-        f"steady-state over {len(timed)} waves: search {np.mean(ts)*1000:.1f} ms "
-        f"(p50 {np.median(ts)*1000:.1f}) update {np.mean(tu)*1000:.1f} ms "
-        f"(p50 {np.median(tu)*1000:.1f})",
+        f"steady-state over {len(timed)} waves: "
+        f"search {np.mean(ts)*1000:.1f} ms (p50 {np.median(ts)*1000:.1f})  "
+        f"compute {np.mean(tc)*1000:.1f} ms (p50 {np.median(tc)*1000:.1f})  "
+        f"apply {np.mean(ta)*1000:.1f} ms (p50 {np.median(ta)*1000:.1f})",
         flush=True,
     )
-    total = (np.mean(ts) + np.mean(tu)) * len(starts)
+    total = (np.mean(ts) + np.mean(tc) + np.mean(ta)) * len(starts)
     print(f"=> projected full-build wave time {total:.1f}s for {len(starts)} waves", flush=True)
 
     if args.trace_dir:

@@ -22,9 +22,12 @@ searchable corpus is bounded by host RAM/disk, not HBM — this is what
 serves the 100M larger-than-memory config.  The full-precision rerank tier
 (:mod:`jvector_tpu.disk.host_tier`) composes on top.
 
-Single-level graphs only (the LTM builds here don't use hierarchy); the
-descent for hierarchical graphs would keep the small upper-level code
-blocks on device exactly like the reference's ``loadInMemoryLayers``.
+Hierarchical graphs serve with the reference's exact split
+(``OnDiskGraphIndex.java:132-162`` / ``loadInMemoryLayers``): the upper
+levels (~1/max_degree of the nodes) plus their SQ4 codes are HBM-resident,
+the per-query descent runs entirely on device, and only the L0 beam
+streams rows from host.  Flat graphs skip straight to the L0 beam from the
+global entry point.
 """
 
 from __future__ import annotations
@@ -94,6 +97,33 @@ class SQ4StreamScorer:
         else:
             raw = acc + c0[:, None]
         return normalize_score(raw, self.sim)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["codes", "w2", "scorer"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class _SlotSQ4Provider:
+    """SQ4 scoring over a device-resident SLOT-indexed code block.
+
+    The upper-level descent's provider: levels address nodes by slot (the
+    level's own 0..nl-1 space), and the level's codes are small enough to
+    live in HBM (~1/max_degree of the corpus), so scoring is one local
+    gather + the stream scorer's arithmetic ADC."""
+
+    codes: jax.Array  # [nl, MP] uint8
+    w2: jax.Array  # [nl] float32
+    scorer: SQ4StreamScorer
+
+    def prepare(self, queries: jax.Array):
+        return self.scorer.prepare(queries)
+
+    def score(self, qstate, slot_ids: jax.Array) -> jax.Array:
+        return self.scorer.score_rows(
+            qstate, self.codes[slot_ids], self.w2[slot_ids]
+        )
 
 
 @partial(jax.jit, static_argnames=("expand",), donate_argnums=(0,))
@@ -259,6 +289,12 @@ class HostGraphIndex:
     sim: SimilarityFunction = SimilarityFunction.EUCLIDEAN
     deleted: np.ndarray | None = None  # [N] bool
     rerank_store: "object | None" = None  # HostVectorStore from inline vectors
+    # hierarchy (empty = flat): per level l >= 1, the level's SLOT-space
+    # adjacency and its global node ordinals.  These are tiny
+    # (~1/max_degree^l of the corpus) and go HBM-resident at first search —
+    # the reference's loadInMemoryLayers split (OnDiskGraphIndex.java:132-162).
+    upper_neighbors: tuple = ()  # np [nl, R] int32 per level
+    upper_node_ids: tuple = ()  # np [nl] int32 per level (ascending)
 
     @staticmethod
     def load(path) -> "HostGraphIndex":
@@ -274,6 +310,10 @@ class HostGraphIndex:
             if r.has_array("graph/deleted")
             else None
         )
+        upper_n, upper_ids = [], []
+        for l in range(1, int(idx.meta.get("num_levels", 1))):
+            upper_n.append(np.asarray(r.read(f"graph/L{l}/neighbors")))
+            upper_ids.append(np.asarray(r.read(f"graph/L{l}/node_ids")))
         # inline full-res vectors present -> default two-pass serving (the
         # reference's on-disk contract: beam on codes, topK reranked exact,
         # OnDiskGraphIndex.View.getVectorInto); stays a host memmap, only
@@ -296,7 +336,83 @@ class HostGraphIndex:
             sim=sim,
             deleted=deleted,
             rerank_store=store,
+            upper_neighbors=tuple(upper_n),
+            upper_node_ids=tuple(upper_ids),
         )
+
+    def _upper_device(self) -> list:
+        """Upload the upper levels once (adjacency + codes + consts)."""
+        dev = getattr(self, "_upper_dev", None)
+        if dev is None:
+            dev = []
+            for nbrs, ids in zip(self.upper_neighbors, self.upper_node_ids):
+                safe = np.minimum(ids, self.codes_packed.shape[0] - 1)
+                dev.append(
+                    {
+                        "nbrs": jnp.asarray(nbrs),
+                        "ids": jnp.asarray(ids),
+                        "codes": jnp.asarray(
+                            np.ascontiguousarray(self.codes_packed[safe])
+                        ),
+                        "w2": jnp.asarray(
+                            np.ascontiguousarray(self.node_const[safe])
+                        ),
+                    }
+                )
+            object.__setattr__(self, "_upper_dev", dev)
+        return dev
+
+    def _descend(
+        self, scorer: SQ4StreamScorer, queries: jax.Array, hierarchy_beam: int = 1
+    ) -> np.ndarray:
+        """Device descent through the upper levels -> per-query L0 entries.
+
+        Same structure as the in-HBM ``_descend_hierarchy`` (score ALL
+        top-level nodes, then a narrow beam per middle level), but over the
+        HBM-resident level code blocks — zero host round-trips per level.
+        """
+        from jvector_tpu.graph.searcher import search_layer
+
+        dev = self._upper_device()
+        qstate = scorer.prepare(queries)
+        Q = queries.shape[0]
+        top = dev[-1]
+        n_top = top["ids"].shape[0]
+        sc = scorer.score_rows(
+            qstate,
+            jnp.broadcast_to(top["codes"][None], (Q,) + top["codes"].shape),
+            jnp.broadcast_to(top["w2"][None], (Q, n_top)),
+        )
+        if self.deleted is not None:
+            dead = jnp.asarray(np.asarray(self.deleted)[np.asarray(
+                self.upper_node_ids[-1]
+            )])
+            sc = jnp.where(dead[None, :], NEG_INF, sc)
+        best = top["ids"][jnp.argmax(sc, axis=1)]
+        best = jnp.where(
+            jnp.max(sc, axis=1) > NEG_INF, best, jnp.int32(self.entry_node)
+        )
+        for l in range(len(dev) - 2, -1, -1):
+            lv = dev[l]
+            provider = _SlotSQ4Provider(
+                codes=lv["codes"], w2=lv["w2"], scorer=scorer
+            )
+            # slots_for: level ids are ascending (np.where order), so the
+            # searchsorted mapping from global ordinals to slots applies
+            from jvector_tpu.graph.hierarchy import slots_for
+
+            entry_slots = slots_for(lv["ids"], best)
+            beam = search_layer(
+                lv["nbrs"],
+                provider,
+                qstate,
+                entry_slots,
+                beam_width=max(1, hierarchy_beam),
+                max_iters=64,
+            )
+            top_slot = jnp.clip(beam.ids[:, 0], 0, lv["ids"].shape[0] - 1)
+            best = lv["ids"][top_slot]
+        return np.asarray(best, np.int32)
 
     def hbm_bytes(self, n_queries: int, beam_width: int, expand: int) -> int:
         """Device working-set estimate: beam state + one streamed expansion."""
@@ -372,6 +488,7 @@ class HostGraphIndex:
         accept: "np.ndarray | None" = None,  # bool [N] acceptOrds mask
         threshold: float = 0.0,  # drop results scoring below this similarity
         accept_brute_cutoff: int | None = None,
+        hierarchy_beam: int = 1,  # descent beam width (hierarchical indexes)
     ) -> SearchResult:
         """Wave beam search streaming graph rows from host per iteration.
 
@@ -434,8 +551,13 @@ class HostGraphIndex:
         # balanced contiguous lane split (equal sizes share one compile)
         cuts = [Q * i // n_lanes for i in range(n_lanes + 1)]
 
-        e_k = jnp.asarray(self.codes_packed[self.entry_node][None, None])  # [1,1,MP]
-        e_w2 = jnp.asarray(self.node_const[self.entry_node].reshape(1, 1))
+        # per-query L0 entry points: hierarchical indexes descend the
+        # HBM-resident upper levels (per-query entries), flat indexes seed
+        # every query at the global entry
+        if self.upper_node_ids:
+            entries_np = self._descend(scorer, queries, hierarchy_beam)
+        else:
+            entries_np = np.full(Q, self.entry_node, np.int32)
 
         class _Lane:
             pass
@@ -446,13 +568,15 @@ class HostGraphIndex:
             ln.a, ln.b = a, b
             qn = b - a
             ln.qstate = scorer.prepare(queries[a:b])
+            e_ids_np = entries_np[a:b]
+            e_ids = jnp.asarray(e_ids_np)
+            e_k = jnp.asarray(gather_rows(self.codes_packed, e_ids_np))
+            e_w2 = jnp.asarray(np.ascontiguousarray(self.node_const[e_ids_np]))
             e_score = scorer.score_rows(
-                ln.qstate,
-                jnp.broadcast_to(e_k, (qn, 1, e_k.shape[-1])),
-                jnp.broadcast_to(e_w2, (qn, 1)),
+                ln.qstate, e_k[:, None, :], e_w2[:, None]
             )
             ln.state = BeamState(
-                ids=jnp.full((qn, L), -1, jnp.int32).at[:, 0].set(self.entry_node),
+                ids=jnp.full((qn, L), -1, jnp.int32).at[:, 0].set(e_ids),
                 scores=jnp.full((qn, L), NEG_INF).at[:, 0].set(e_score[:, 0]),
                 expanded=jnp.zeros((qn, L), bool),
                 history=jnp.full((qn, T), -1, jnp.int32),
@@ -469,14 +593,17 @@ class HostGraphIndex:
                 jnp.zeros((qn, expand, R), jnp.float32),
             )
             if acc_full is not None:
-                # accepted-results channel, seeded with the entry when the
-                # entry itself passes the filter
-                entry_ok = bool(acc_full[self.entry_node])
-                ln.res_ids = jnp.full((qn, K), -1, jnp.int32)
-                ln.res_scores = jnp.full((qn, K), NEG_INF)
-                if entry_ok:
-                    ln.res_ids = ln.res_ids.at[:, 0].set(self.entry_node)
-                    ln.res_scores = ln.res_scores.at[:, 0].set(e_score[:, 0])
+                # accepted-results channel, seeded with each query's entry
+                # when that entry passes the filter
+                entry_ok = jnp.asarray(acc_full[e_ids_np])
+                ln.res_ids = (
+                    jnp.full((qn, K), -1, jnp.int32)
+                    .at[:, 0].set(jnp.where(entry_ok, e_ids, -1))
+                )
+                ln.res_scores = (
+                    jnp.full((qn, K), NEG_INF)
+                    .at[:, 0].set(jnp.where(entry_ok, e_score[:, 0], NEG_INF))
+                )
                 # EXACT per-query popped-set (host bitset, N/8 bytes/query):
                 # filtered searches run far past the device history ring's
                 # capacity, and a forgotten pop re-entering the purged
@@ -488,8 +615,8 @@ class HostGraphIndex:
                 ln.popped = np.zeros(
                     (qn, (self.neighbors.shape[0] + 7) // 8), np.uint8
                 )
-                ln.popped[:, self.entry_node >> 3] |= np.uint8(
-                    1 << (self.entry_node & 7)
+                ln.popped[np.arange(qn), e_ids_np >> 3] |= (
+                    np.uint8(1) << (e_ids_np & 7).astype(np.uint8)
                 )
                 ln.state, ln.res_ids, ln.res_scores, ln.sel_dev = (
                     _host_step_filtered(

@@ -882,6 +882,37 @@ def _build_on_disk_ltm_sq4(
         entry_node=jnp.int32(_entry_by_centroid(provider, centroid, n))
     )
 
+    if config.add_hierarchy:
+        # Upper levels over ~n/max_degree sampled nodes (the slice the
+        # reference's on-disk format keeps IN MEMORY while L0 streams,
+        # OnDiskGraphIndex.java:132-162).  Their full-res vectors are
+        # fetched from the source in one chunked pass — at 10M x 128d the
+        # level-1 slice is ~312k rows / 160 MB, device-resident with room
+        # to spare even in the 100M regime.
+        from jvector_tpu.graph.hierarchy import assign_levels
+
+        t_h = _time.time()
+        levels = assign_levels(n, config.max_degree, seed)
+        sub_ids = np.where(levels >= 1)[0].astype(np.int32)
+        if len(sub_ids):
+            sub_vecs = np.empty((len(sub_ids), dim), np.float32)
+            pos = 0
+            step = 262_144
+            for a in range(0, n, step):
+                sel = sub_ids[(sub_ids >= a) & (sub_ids < a + step)]
+                if len(sel):
+                    blk = np.asarray(load(a, min(a + step, n)))
+                    sub_vecs[pos : pos + len(sel)] = blk[sel - a]
+                    pos += len(sel)
+            graph = GraphIndexBuilder(config).build_hierarchy_from_subset(
+                graph, sub_ids, jnp.asarray(sub_vecs),
+                levels[sub_ids], sim,
+            )
+            log.info(
+                "ltm hierarchy: %d levels over %d nodes (%.1fs)",
+                graph.num_levels - 1, len(sub_ids), _time.time() - t_h,
+            )
+
     # final fused layout against the cleaned adjacency -> host-servable.
     # Small indexes keep the fused tables on device (fast in-HBM serving);
     # big ones stream fused chunks straight into the file and return a
@@ -894,6 +925,10 @@ def _build_on_disk_ltm_sq4(
     for l, layer in enumerate(graph.layers):
         _add_array_chunked(writer, f"graph/L{l}/neighbors", layer.neighbors, np.int32)
         writer.add_array(f"graph/L{l}/counts", np.asarray(layer.counts))
+        if l >= 1:
+            writer.add_array(
+                f"graph/L{l}/node_ids", np.asarray(graph.level_node_ids[l - 1])
+            )
     f = f"feature/{FeatureId.FUSED_SQ4}"
     if codes is None:
         # materialize the [N, MP] view once for the save/fused-layout pass

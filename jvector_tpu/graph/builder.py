@@ -1433,29 +1433,53 @@ class GraphIndexBuilder:
         build over the subset, stored in slot space.
         """
         from jvector_tpu.graph.hierarchy import assign_levels
-        from jvector_tpu.graph.index import empty_layer
 
         cfg = self.config
         n = int(graph.num_nodes)
         levels = assign_levels(n, cfg.max_degree, seed)
+        sub_ids = np.where(levels >= 1)[0].astype(np.int32)
+        return self.build_hierarchy_from_subset(
+            graph, sub_ids, vectors[jnp.asarray(sub_ids)],
+            levels[sub_ids], sim,
+        )
+
+    def build_hierarchy_from_subset(
+        self,
+        graph: GraphIndex,
+        sub_ids: np.ndarray,  # int32 [S] GLOBAL ordinals with level >= 1
+        sub_vectors: jax.Array,  # [S, D] those nodes' full-res vectors
+        sub_levels: np.ndarray,  # int32 [S] assigned level of each sub node
+        sim: SimilarityFunction,
+    ) -> GraphIndex:
+        """Attach upper levels given only the LEVEL>=1 nodes' vectors.
+
+        The larger-than-memory build path uses this: upper levels cover
+        ~1/max_degree of the corpus (reference ``OnDiskGraphIndex`` keeps
+        exactly this slice in memory, ``OnDiskGraphIndex.java:132-162``),
+        so their vectors fit on device even when the corpus does not.
+        """
+        from jvector_tpu.graph.index import empty_layer
+
+        cfg = self.config
         layers = [graph.base]
         node_ids: list[jax.Array] = []
-        max_level = int(levels.max()) if n else 0
+        max_level = int(sub_levels.max()) if len(sub_levels) else 0
         for l in range(1, max_level + 1):
-            ids = np.where(levels >= l)[0].astype(np.int32)
-            if len(ids) == 0:
+            local = np.where(sub_levels >= l)[0].astype(np.int32)
+            if len(local) == 0:
                 break
-            if len(ids) == 1:
+            ids = sub_ids[local]
+            if len(local) == 1:
                 layers.append(empty_layer(1, cfg.row_cap))
                 node_ids.append(jnp.asarray(ids))
                 continue
             sub_cfg = dataclasses.replace(
-                self.config,
-                wave_size=min(cfg.wave_size, max(32, len(ids))),
+                cfg,
+                wave_size=min(cfg.wave_size, max(32, len(local))),
                 add_hierarchy=False,
             )
             sub_graph, _ = GraphIndexBuilder(sub_cfg).build(
-                vectors[jnp.asarray(ids)], sim, cleanup=True
+                sub_vectors[jnp.asarray(local)], sim, cleanup=True
             )
             layers.append(sub_graph.base)
             node_ids.append(jnp.asarray(ids))
