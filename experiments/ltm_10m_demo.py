@@ -67,7 +67,11 @@ else:
 print(f"gt {time.time()-t0:.1f}s", flush=True)
 
 path = "/tmp/ltm_10m_sq4.jvtpu"
-cfg = GraphConfig(max_degree=32, ef_construction=100)
+# add_hierarchy: upper levels are built AFTER L0 from the sampled nodes'
+# vectors (one source pass), so the SAME file serves both hierarchically
+# and flat (strip upper levels) — the flat-vs-hierarchy decision record
+# at 10M rides this run for free (VERDICT r3 #5).
+cfg = GraphConfig(max_degree=32, ef_construction=100, add_hierarchy=True)
 
 
 def _index_complete(p):
@@ -92,17 +96,27 @@ else:
           flush=True)
 
 hg = HostGraphIndex.load(path)
+import dataclasses as _dc
 from jvector_tpu.disk.format import load_index
 store = HostVectorStore.from_index_file(load_index(path).reader,
                                         "feature/inline_vectors/vectors", "euclidean")
 budget = hg.hbm_bytes(n_queries=512, beam_width=48, expand=4)
-for pipeline in (2, 1):
+host_bytes = hg.fused_packed.size + hg.neighbors.size * 4 + hg.fused_w2.size * 4 + base_np.nbytes
+print(f"levels={1 + len(hg.upper_node_ids)} device_ws={budget/1e6:.0f} MB "
+      f"vs host {host_bytes/1e9:.1f} GB", flush=True)
+# flat serving = the SAME index with upper levels stripped (identical L0):
+# the 10M flat-vs-hierarchy decision record, plus pipeline and E sweeps
+hg_flat = _dc.replace(hg, upper_neighbors=(), upper_node_ids=())
+runs = [
+    ("hier  p2 E4", hg, dict(beam_width=48, expand=4, pipeline=2)),
+    ("flat  p2 E4", hg_flat, dict(beam_width=48, expand=4, pipeline=2)),
+    ("hier  p1 E4", hg, dict(beam_width=48, expand=4, pipeline=1)),
+    ("hier  p2 E8", hg, dict(beam_width=48, expand=8, pipeline=2)),
+]
+for name, h, kw in runs:
     t0 = time.time()
-    res = hg.search(queries, top_k=10, beam_width=48, expand=4, rerank=store,
-                    pipeline=pipeline)
+    res = h.search(queries, top_k=10, rerank=store, **kw)
     dt = time.time() - t0
     r = recall_at_k(np.asarray(res.ids), gt, 10)
-    host_bytes = hg.fused_packed.size + hg.neighbors.size * 4 + hg.fused_w2.size * 4 + base_np.nbytes
-    print(f"host-serve 512q pipeline={pipeline}: {dt:.1f}s ({512/dt:.0f} QPS) "
-          f"recall@10={r:.4f} device_ws={budget/1e6:.0f} MB vs host {host_bytes/1e9:.1f} GB",
-          flush=True)
+    print(f"host-serve 512q {name}: {dt:.1f}s ({512/dt:.0f} QPS) "
+          f"recall@10={r:.4f}", flush=True)

@@ -87,7 +87,7 @@ def main() -> None:
         ids = np.arange(start, start + w, dtype=np.int32)
         ids = np.where(ids < n, ids, -1)
         ids_dev = jnp.asarray(ids)
-        wv = vectors[jnp.minimum(ids_dev, n - 1)]
+        wv = jax.lax.dynamic_slice_in_dim(pv, start, w)  # mirrors build()
         bp = dataclasses.replace(
             bp0, fused_packed=state["fused"], fused_w2=state["w2t"]
         )

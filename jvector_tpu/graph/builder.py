@@ -59,6 +59,21 @@ def _pairwise_from_provider(provider, ids: jax.Array) -> jax.Array:
     return provider.pairwise(safe, safe)
 
 
+def _prune_simmat(provider, ids: jax.Array) -> jax.Array:
+    """Jittered pairwise matrix for the diversity prune.
+
+    Exact providers take the single-gather bf16 fast path (the matrix only
+    feeds dominance comparisons; see ``exact_pairwise_rows``)."""
+    if isinstance(provider, ExactScoreProvider):
+        from jvector_tpu.graph.score import exact_pairwise_rows
+
+        sim = exact_pairwise_rows(
+            provider.vectors[jnp.maximum(ids, 0)], provider.sim
+        )
+        return tie_break_pairs(ids, sim)
+    return tie_break_pairs(ids, _pairwise_from_provider(provider, ids))
+
+
 def _insert_wave(
     graph: GraphIndex,
     provider,
@@ -175,9 +190,7 @@ def _wave_update_plain(
         cand_ids = jnp.take_along_axis(cand_ids, order, axis=1)
         cand_scores = jnp.take_along_axis(cand_scores, order, axis=1)
 
-    simmat = tie_break_pairs(
-        cand_ids, _pairwise_from_provider(prune_provider, cand_ids)
-    )
+    simmat = _prune_simmat(prune_provider, cand_ids)
     sel_ids, sel_scores, sel_count = robust_prune(
         cand_ids, cand_scores, simmat, M, config.alphas, algo=config.prune_algo
     )  # [W, M]
@@ -248,9 +261,7 @@ def _wave_update_plain(
     e_scores_m = jnp.where(e_ids_m >= 0, e_scores, NEG_INF)
     e_scores_m = tie_break_scores(enforce_rows, e_ids_m, e_scores_m)
     e_ids_s, e_scores_s = dedup_sorted_desc(e_ids_m, e_scores_m)
-    e_sim = tie_break_pairs(
-        e_ids_s, _pairwise_from_provider(prune_provider, e_ids_s)
-    )
+    e_sim = _prune_simmat(prune_provider, e_ids_s)
     p_ids, p_scores, p_count = robust_prune(
         e_ids_s, e_scores_s, e_sim, M, config.alphas, algo=config.prune_algo
     )
@@ -456,9 +467,7 @@ def _wave_update_fused(
     cand_ids = jnp.take_along_axis(cand_ids, order, axis=1)
     cand_scores = jnp.take_along_axis(cand_scores, order, axis=1)
 
-    simmat = tie_break_pairs(
-        cand_ids, _pairwise_from_provider(prune_provider, cand_ids)
-    )
+    simmat = _prune_simmat(prune_provider, cand_ids)
     sel_ids, sel_scores, sel_count = robust_prune(
         cand_ids, cand_scores, simmat, M, config.alphas, algo=config.prune_algo
     )
@@ -577,9 +586,7 @@ def _wave_update_fused(
     e_scores_m = jnp.where(e_ids_m >= 0, e_scores, NEG_INF)
     e_scores_m = tie_break_scores(enforce_rows, e_ids_m, e_scores_m)
     e_ids_s, e_scores_s = dedup_sorted_desc(e_ids_m, e_scores_m)
-    e_sim = tie_break_pairs(
-        e_ids_s, _pairwise_from_provider(prune_provider, e_ids_s)
-    )
+    e_sim = _prune_simmat(prune_provider, e_ids_s)
     p_ids, p_scores, p_count = robust_prune(
         e_ids_s, e_scores_s, e_sim, M, config.alphas, algo=config.prune_algo
     )
@@ -775,7 +782,17 @@ def _wave_update_compute(
     cand_scores = jnp.concatenate([beam_scores, intra_top_scores], axis=1)
     cand_ids, cand_scores = dedup_sorted_desc(cand_ids, cand_scores)
     valid = cand_ids >= 0
-    if rescore:
+    exact_rows = rescore and isinstance(prune_provider, ExactScoreProvider)
+    if exact_rows:
+        # single-gather fast path: one [W, C, D] row gather feeds the exact
+        # rescore AND (permuted in-register) the prune's pairwise matrix —
+        # the gathers are row-count-bound, this was 3x ~100k rows/wave
+        from jvector_tpu.graph.score import exact_pairwise_rows, exact_score_rows
+
+        cand_va = prune_provider.vectors[jnp.maximum(cand_ids, 0)]
+        rescored = exact_score_rows(prune_qstate, cand_va, prune_provider.sim)
+        cand_scores = jnp.where(valid, rescored, NEG_INF)
+    elif rescore:
         rescored = prune_provider.score(prune_qstate, jnp.maximum(cand_ids, 0))
         cand_scores = jnp.where(valid, rescored, NEG_INF)
     else:
@@ -785,9 +802,14 @@ def _wave_update_compute(
     cand_ids = jnp.take_along_axis(cand_ids, order, axis=1)
     cand_scores = jnp.take_along_axis(cand_scores, order, axis=1)
 
-    simmat = tie_break_pairs(
-        cand_ids, _pairwise_from_provider(prune_provider, cand_ids)
-    )
+    if exact_rows:
+        cand_va = jnp.take_along_axis(cand_va, order[..., None], axis=1)
+        simmat = exact_pairwise_rows(cand_va, prune_provider.sim)
+        simmat = tie_break_pairs(cand_ids, simmat)
+    else:
+        simmat = tie_break_pairs(
+            cand_ids, _pairwise_from_provider(prune_provider, cand_ids)
+        )
     sel_ids, sel_scores, sel_count = robust_prune(
         cand_ids, cand_scores, simmat, M, config.alphas, algo=config.prune_algo
     )
@@ -889,9 +911,7 @@ def _wave_update_compute(
     e_scores_m = jnp.where(e_ids_m >= 0, e_scores, NEG_INF)
     e_scores_m = tie_break_scores(enforce_rows, e_ids_m, e_scores_m)
     e_ids_s, e_scores_s = dedup_sorted_desc(e_ids_m, e_scores_m)
-    e_sim = tie_break_pairs(
-        e_ids_s, _pairwise_from_provider(prune_provider, e_ids_s)
-    )
+    e_sim = _prune_simmat(prune_provider, e_ids_s)
     p_ids, p_scores, p_count = robust_prune(
         e_ids_s, e_scores_s, e_sim, M, config.alphas, algo=config.prune_algo
     )
@@ -1130,9 +1150,7 @@ def _enforce_chunk(
     e_scores = jnp.where(e_ids >= 0, e_scores, NEG_INF)
     e_scores = tie_break_scores(safe_rows, e_ids, e_scores)
     e_ids_s, e_scores_s = dedup_sorted_desc(e_ids, e_scores)
-    simmat = tie_break_pairs(
-        e_ids_s, _pairwise_from_provider(provider, e_ids_s)
-    )
+    simmat = _prune_simmat(provider, e_ids_s)
     p_ids, p_scores, p_count = robust_prune(
         e_ids_s, e_scores_s, simmat, M, config.alphas, algo=config.prune_algo
     )
@@ -1255,6 +1273,24 @@ class GraphIndexBuilder:
             t_phase = _time.time()
         graph = empty_graph(n_cap, cfg)
 
+        # Wave vectors: waves are CONTIGUOUS id ranges, so a dynamic slice
+        # of the capacity-padded provider array replaces the per-wave fancy
+        # gather — the gather's host-side dispatch alone cost ~8 ms/wave
+        # (r4 traced), a fifth of the whole wave.
+        wave_src = (
+            provider.vectors
+            if isinstance(provider, ExactScoreProvider)
+            and provider.vectors.shape[0] == n_cap
+            and provider.vectors.dtype == jnp.float32
+            and n_cap % w == 0
+            else None
+        )
+
+        def _wave_vecs(start: int, ids_dev: jax.Array) -> jax.Array:
+            if wave_src is not None:
+                return jax.lax.dynamic_slice_in_dim(wave_src, start, w)
+            return vectors[jnp.minimum(ids_dev, n - 1)]
+
         if build_provider is not provider and _packed_build_eligible(
             cfg, build_provider.codes_packed.shape[1], n_cap
         ):
@@ -1283,7 +1319,7 @@ class GraphIndexBuilder:
                 ids = np.arange(start, start + w, dtype=np.int32)
                 ids = np.where(ids < n, ids, -1)
                 ids_dev = jnp.asarray(ids)
-                wv = vectors[jnp.minimum(ids_dev, n - 1)]
+                wv = _wave_vecs(start, ids_dev)
                 bp = dataclasses.replace(
                     build_provider, fused_packed=fused_packed, fused_w2=w2t
                 )
@@ -1338,7 +1374,7 @@ class GraphIndexBuilder:
                 ids = np.arange(start, start + w, dtype=np.int32)
                 ids = np.where(ids < n, ids, -1)
                 ids_dev = jnp.asarray(ids)
-                wv = vectors[jnp.minimum(ids_dev, n - 1)]
+                wv = _wave_vecs(start, ids_dev)
                 bp = dataclasses.replace(
                     build_provider, fused_packed=fused_packed, fused_w2=fused_w2
                 )
@@ -1370,7 +1406,7 @@ class GraphIndexBuilder:
             for start in _shuffled_wave_starts(n, w):
                 ids = np.arange(start, start + w, dtype=np.int32)
                 ids = np.where(ids < n, ids, -1)
-                wv = vectors[jnp.minimum(jnp.asarray(ids), n - 1)]
+                wv = _wave_vecs(start, jnp.asarray(ids))
                 graph = _insert_wave(
                     graph, build_provider, jnp.asarray(ids), wv, cfg,
                     seed_ids=seeds.sample(),
@@ -1571,9 +1607,7 @@ def _refine_chunk(
     cand_scores = tie_break_scores(safe_rows, cand_ids, cand_scores)
     cand_ids, cand_scores = dedup_sorted_desc(cand_ids, cand_scores)
 
-    simmat = tie_break_pairs(
-        cand_ids, _pairwise_from_provider(provider, cand_ids)
-    )
+    simmat = _prune_simmat(provider, cand_ids)
     p_ids, p_scores, p_count = robust_prune(
         cand_ids, cand_scores, simmat, M, config.alphas, algo=config.prune_algo
     )
