@@ -114,6 +114,11 @@ def _download_unpack_adj(
 # regime).  Module-level so tests can force the non-fused path at small n.
 _FUSED_BUILD_BUDGET = 6 << 30
 
+# fused-table budget for the SAVED index's device-resident serving tier;
+# past it the save streams the fused layout into the file host-side and
+# returns a fused-less provider (serving goes through HostGraphIndex)
+_FUSED_SERVE_BUDGET = 4 << 30
+
 
 @_partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("cosine",))
 def _ltm_wave_encode(aug, node_w2, node_norm2, sq, wave, start, cosine):
@@ -616,10 +621,11 @@ def _build_on_disk_ltm_sq4(
         from jvector_tpu.graph.builder import _wave_search, _wave_update_fused
     if packed_build:
         from jvector_tpu.graph.builder import (
-            _pack_adjacency,
+            _empty_packed_adjacency,
             _wave_apply_adj_only,
             _wave_search,
             _wave_update_compute,
+            packed_cleanup,
         )
 
     w = config.wave_size
@@ -686,7 +692,6 @@ def _build_on_disk_ltm_sq4(
     else:
         node_w2 = jnp.zeros((n_cap,), jnp.float32)
         node_norm2 = jnp.zeros((n_cap,), jnp.float32)
-        graph = empty_graph(n_cap, config)
         aug = jnp.zeros((n_cap, mp + 4), jnp.uint8)
         if fused_build:
             k_row = config.row_cap * mp
@@ -696,11 +701,16 @@ def _build_on_disk_ltm_sq4(
         else:
             codes = None  # aug-backed provider (one device copy of the codes)
         if packed_build:
-            adj = _pack_adjacency(graph.base, config.row_cap)
-            counts = graph.base.counts
-            entry = graph.entry_node
-            num_nodes = graph.num_nodes
-            graph = None  # the packed table IS the graph until unpack
+            # the packed table IS the graph until unpack; built directly —
+            # packing an empty [N, R] layer materializes ~5x the table
+            # transiently, which OOMs the chip at 10M (r4 measured)
+            adj = _empty_packed_adjacency(n_cap, config.row_cap)
+            counts = jnp.zeros((n_cap,), jnp.int32)
+            entry = jnp.int32(-1)
+            num_nodes = jnp.int32(0)
+            graph = None
+        else:
+            graph = empty_graph(n_cap, config)
         writer = IndexFileWriter(path)
         writer.reserve_array(
             f"feature/{FeatureId.INLINE_VECTORS}/vectors", (n, dim), np.float32
@@ -843,12 +853,19 @@ def _build_on_disk_ltm_sq4(
 
     provider = make_provider(codes, node_w2, node_norm2, aug)
     if packed_build:
+        # enforce-degree on the PACKED layout first: the unpacked enforce
+        # scatters whole rows, and at 10M its table copy alone exceeds the
+        # chip (10.2 GB tables + 10.2 GB scatter copy); the packed pass is
+        # contiguous in-place slice updates, no copies
+        jax.block_until_ready(adj)
+        log.info("ltm packed waves done (%.1fs); cleanup", _time.time() - t_wave)
+        adj, counts = packed_cleanup(adj, counts, provider, config, num_nodes)
         # unpack via a host round-trip: on-device unpack would hold the
         # packed table (5.1 GB at 10M) AND the lane-padded halves (10.2 GB)
         # at once — over HBM.  Download packed chunks, free the table,
         # upload the halves; peak device = max of the two layouts + chunk.
         jax.block_until_ready(adj)
-        log.info("ltm packed waves done (%.1fs); unpack", _time.time() - t_wave)
+        log.info("ltm packed cleanup done (%.1fs); unpack", _time.time() - t_wave)
         nb_np, sc_np = _download_unpack_adj(adj, config.row_cap)
         del adj
         from jvector_tpu.graph.index import GraphLayer
@@ -866,7 +883,10 @@ def _build_on_disk_ltm_sq4(
             num_nodes=num_nodes,
             deleted=jnp.zeros((n_cap,), bool),
         )
-        del nb_np, sc_np
+        nb_host = nb_np  # reused by the save (L0 write + host fused layout)
+        del sc_np
+    else:
+        nb_host = None
     jax.block_until_ready(graph.base.neighbors)
     if fused_build:
         # cleanup rewrites rows wholesale; the save phase rebuilds the
@@ -874,7 +894,9 @@ def _build_on_disk_ltm_sq4(
         del fused_packed, fused_w2, bp
     log.info("ltm build waves done (%.1fs); cleanup", _time.time() - t_wave)
     builder = GraphIndexBuilder(config)
-    graph = builder.cleanup(graph, provider, vectors=None)
+    # packed builds already enforced degree on the packed layout above
+    graph = builder.cleanup(graph, provider, vectors=None,
+                            enforce=not packed_build)
     jax.block_until_ready(graph.base.neighbors)
     log.info("ltm cleanup done (%.1fs); save", _time.time() - t_wave)
     centroid = jnp.mean(provider.decode(jnp.arange(min(n, 65_536))), axis=0)[None]
@@ -920,10 +942,23 @@ def _build_on_disk_ltm_sq4(
     const = node_norm2 if sim == SimilarityFunction.COSINE else node_w2
     r_cap = graph.row_cap
     fused_bytes = n_cap * r_cap * (mp + 4)
-    keep_fused_on_device = fused_bytes < (4 << 30)
+    keep_fused_on_device = fused_bytes < _FUSED_SERVE_BUDGET
 
+    if not keep_fused_on_device and nb_host is None:
+        # one bounded-chunk download, reused for BOTH the L0 write and the
+        # host-side fused layout below
+        nb_host = np.empty((n_cap, r_cap), np.int32)
+        step = max(1, (256 << 20) // (r_cap * 4))
+        for a in range(0, n_cap, step):
+            b = min(a + step, n_cap)
+            nb_host[a:b] = np.asarray(graph.base.neighbors[a:b])
     for l, layer in enumerate(graph.layers):
-        _add_array_chunked(writer, f"graph/L{l}/neighbors", layer.neighbors, np.int32)
+        if l == 0 and nb_host is not None:
+            writer.add_array("graph/L0/neighbors", nb_host)
+        else:
+            _add_array_chunked(
+                writer, f"graph/L{l}/neighbors", layer.neighbors, np.int32
+            )
         writer.add_array(f"graph/L{l}/counts", np.asarray(layer.counts))
         if l >= 1:
             writer.add_array(
@@ -934,7 +969,18 @@ def _build_on_disk_ltm_sq4(
         # materialize the [N, MP] view once for the save/fused-layout pass
         # (the wave loop is over; the transient fits easily now)
         codes = provider._codes_array()
-    _add_array_chunked(writer, f"{f}/codes_packed", codes, np.uint8)
+    if keep_fused_on_device:
+        _add_array_chunked(writer, f"{f}/codes_packed", codes, np.uint8)
+        codes_np = None
+    else:
+        # download once, write from host; the same copy feeds the
+        # host-side fused layout below
+        codes_np = np.empty((n_cap, mp), np.uint8)
+        step = max(1, (256 << 20) // mp)
+        for a in range(0, n_cap, step):
+            b = min(a + step, n_cap)
+            codes_np[a:b] = np.asarray(codes[a:b])
+        writer.add_array(f"{f}/codes_packed", codes_np)
     writer.add_array(f"{f}/node_const", np.asarray(const))
     if keep_fused_on_device:
         fused_packed, fused_w2 = build_fused_sq4(graph.base.neighbors, codes, const)
@@ -957,14 +1003,20 @@ def _build_on_disk_ltm_sq4(
             f"{f}/fused_packed", (n_cap, r_cap * mp), np.uint8
         )
         writer.reserve_array(f"{f}/fused_w2", (n_cap, r_cap), np.float32)
+        # HOST-side fused layout: a pure gather of host-resident codes.
+        # Computing it on device downloads (MP+4) x N x R bytes over the
+        # link — 41 GB / ~38 min at 10M on the tunnel — for zero FLOPs.
+        from jvector_tpu.graph.score import build_fused_sq4_host
+
+        const_np = np.asarray(const)
         chunk = max(1, (1 << 29) // (r_cap * mp))
         for a in range(0, n_cap, chunk):
             b = min(a + chunk, n_cap)
-            fp_c, fw_c = build_fused_sq4(
-                graph.base.neighbors[a:b], codes, const
+            fp_c, fw_c = build_fused_sq4_host(
+                nb_host[a:b], codes_np, const_np
             )
-            writer.write_rows(f"{f}/fused_packed", a, np.asarray(fp_c))
-            writer.write_rows(f"{f}/fused_w2", a, np.asarray(fw_c))
+            writer.write_rows(f"{f}/fused_packed", a, fp_c)
+            writer.write_rows(f"{f}/fused_w2", a, fw_c)
     writer.add_array(f"{f}/scale", np.asarray(sq.scale))
     writer.add_array(f"{f}/offset", np.asarray(sq.offset))
     writer.set_meta(

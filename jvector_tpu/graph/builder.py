@@ -46,6 +46,7 @@ from jvector_tpu.graph.index import (
     GraphLayer,
     bucket_capacity,
     empty_graph,
+    empty_layer,
 )
 from jvector_tpu.graph.score import ExactScoreProvider
 from jvector_tpu.graph.searcher import search_layer
@@ -1101,7 +1102,12 @@ def _packed_build_eligible(cfg: GraphConfig, mp: int, n_cap: int) -> bool:
 
 
 def _pack_adjacency(layer: GraphLayer, r_cap: int) -> jax.Array:
-    """GraphLayer -> packed [N/8, 8, 128] i32 adjacency (build-loop entry)."""
+    """GraphLayer -> packed [N/8, 8, 128] i32 adjacency (build-loop entry).
+
+    Materializes ~5x the packed table transiently (inputs + bitcast +
+    concat + relayout) — fine for checkpoint-resume scale, but a fresh
+    build must use :func:`_empty_packed_adjacency` instead (at 10M the 5x
+    transient alone OOMs the 16 GB chip)."""
     n = layer.neighbors.shape[0]
     bits = jax.lax.bitcast_convert_type(layer.scores, jnp.int32)
     flat = jnp.concatenate(
@@ -1114,6 +1120,28 @@ def _pack_adjacency(layer: GraphLayer, r_cap: int) -> jax.Array:
         axis=1,
     )
     return flat.reshape(n // 8, 8, 128)
+
+
+def _empty_packed_adjacency(n_cap: int, r_cap: int) -> jax.Array:
+    """Packed adjacency of an EMPTY graph, built without the [N, R]
+    unpacked tables ever existing (one dense [N/8, 8, 128] buffer, no
+    multi-GB transients — the 10M fresh-build entry point).
+
+    Bit-identical to ``_pack_adjacency(empty_layer(n_cap, r_cap), r_cap)``:
+    id lanes all -1, score lanes 64..64+r_cap = bitcast(-inf), rest 0.
+    """
+    sc_bits = jax.lax.bitcast_convert_type(
+        jnp.full((r_cap,), NEG_INF, jnp.float32), jnp.int32
+    )
+    row = jnp.concatenate(
+        [
+            jnp.full((64,), -1, jnp.int32),
+            sc_bits,
+            jnp.zeros((64 - r_cap,), jnp.int32),
+        ]
+    )
+    # broadcast fuses into the copy: peak device memory = the one output
+    return jnp.broadcast_to(row, (n_cap // 8, 8, 128)).copy()
 
 
 def _unpack_adjacency(
@@ -1173,6 +1201,97 @@ def _enforce_chunk(
         num_nodes=graph.num_nodes,
         deleted=graph.deleted,
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "chunk"),
+    donate_argnums=(0, 1),
+)
+def _enforce_packed_chunk(
+    adj: jax.Array,  # [N/8, 8, 128] i32 packed ids+score-bits (DONATED)
+    counts: jax.Array,  # [N] i32 (DONATED)
+    provider,
+    start: jax.Array,  # i32 row start, % 8 == 0
+    num_nodes: jax.Array,  # i32
+    config: GraphConfig,
+    chunk: int,  # % 8 == 0
+) -> tuple[jax.Array, jax.Array]:
+    """Enforce-degree on a contiguous chunk of PACKED rows, in place.
+
+    The packed counterpart of :func:`_enforce_chunk`: reads the chunk with
+    one ``dynamic_slice`` and writes it back with one
+    ``dynamic_update_slice`` on donated buffers — contiguous slice updates
+    alias in place, unlike the row scatters of the unpacked path, which
+    XLA lowers as whole-table chunked-copy loops on multi-GB buffers
+    (r4 traced: ~72 ms/chunk of cleanup at 1M was ~7x the accountable
+    compute).  Also the only cleanup that FITS at 10M: the unpacked
+    tables + their scatter copy exceed the 16 GB chip.
+    """
+    r_cap = config.row_cap
+    M = config.max_degree
+    g0 = start // 8
+    blk = jax.lax.dynamic_slice(adj, (g0, 0, 0), (chunk // 8, 8, 128))
+    flat = blk.reshape(chunk, 128)
+    e_ids = flat[:, :r_cap]
+    e_scores = jax.lax.bitcast_convert_type(
+        flat[:, 64 : 64 + r_cap], jnp.float32
+    )
+    rows = start + jnp.arange(chunk, dtype=jnp.int32)
+    cnt = jax.lax.dynamic_slice(counts, (start,), (chunk,))
+    valid_row = (rows < num_nodes) & (cnt > 0)
+
+    e_ids = jnp.where(jnp.arange(r_cap)[None, :] < cnt[:, None], e_ids, -1)
+    e_scores = jnp.where(e_ids >= 0, e_scores, NEG_INF)
+    e_scores = tie_break_scores(rows, e_ids, e_scores)
+    e_ids_s, e_scores_s = dedup_sorted_desc(e_ids, e_scores)
+    simmat = _prune_simmat(provider, e_ids_s)
+    p_ids, p_scores, p_count = robust_prune(
+        e_ids_s, e_scores_s, simmat, M, config.alphas, algo=config.prune_algo
+    )
+    new_ids = jnp.concatenate(
+        [p_ids, jnp.full((chunk, 64 - M), -1, jnp.int32)], axis=1
+    )
+    new_sc = jnp.concatenate(
+        [p_scores, jnp.full((chunk, 64 - M), NEG_INF, jnp.float32)], axis=1
+    )
+    new_flat = jnp.concatenate(
+        [new_ids, jax.lax.bitcast_convert_type(new_sc, jnp.int32)], axis=1
+    )
+    new_flat = jnp.where(valid_row[:, None], new_flat, flat)
+    new_cnt = jnp.where(valid_row, p_count, cnt)
+    adj = jax.lax.dynamic_update_slice(
+        adj, new_flat.reshape(chunk // 8, 8, 128), (g0, 0, 0)
+    )
+    counts = jax.lax.dynamic_update_slice(counts, new_cnt, (start,))
+    return adj, counts
+
+
+def packed_cleanup(
+    adj: jax.Array,
+    counts: jax.Array,
+    provider,
+    config: GraphConfig,
+    num_nodes: jax.Array,
+    chunk: int = 4096,
+) -> tuple[jax.Array, jax.Array]:
+    """Enforce max_degree over the whole PACKED adjacency (cleanup pass).
+
+    ``adj``/``counts`` are consumed (donated per chunk).  The tail chunk
+    clamps its start back to ``n_cap - chunk``; re-enforcing the overlap
+    rows is exactly idempotent (each kept edge was selected against the
+    same earlier-kept set, and the tie-break jitter is id-derived).
+    """
+    n_cap = adj.shape[0] * 8
+    chunk = min(chunk, n_cap)
+    starts = list(range(0, n_cap - chunk + 1, chunk))
+    if n_cap % chunk:
+        starts.append(n_cap - chunk)
+    for s in starts:
+        adj, counts = _enforce_packed_chunk(
+            adj, counts, provider, jnp.int32(s), num_nodes, config, chunk
+        )
+    return adj, counts
 
 
 def _shuffled_wave_starts(n: int, wave: int, seed: int = 0x5EED) -> list[int]:
@@ -1291,6 +1410,7 @@ class GraphIndexBuilder:
                 return jax.lax.dynamic_slice_in_dim(wave_src, start, w)
             return vectors[jnp.minimum(ids_dev, n - 1)]
 
+        enforced = False  # packed builds enforce-degree pre-unpack
         if build_provider is not provider and _packed_build_eligible(
             cfg, build_provider.codes_packed.shape[1], n_cap
         ):
@@ -1303,11 +1423,17 @@ class GraphIndexBuilder:
             mp = build_provider.codes_packed.shape[1]
             k_row = cfg.row_cap * mp
             fused_packed = jnp.zeros((n_cap, k_row // 128, 128), jnp.uint8)
-            adj = _pack_adjacency(graph.base, cfg.row_cap)
+            # fresh build: construct the packed table directly (the
+            # pack-from-layer path holds ~5x the table transiently) and
+            # drop the empty [N, R] layer so its lane-padded GB is freed
+            adj = _empty_packed_adjacency(n_cap, cfg.row_cap)
             w2t = jnp.zeros((n_cap // 8, 8, 128), jnp.int32)
             counts = graph.base.counts
             entry = graph.entry_node
             num_nodes = graph.num_nodes
+            graph = graph._replace(
+                layers=(empty_layer(8, cfg.row_cap),) + graph.layers[1:]
+            )
             const = (
                 build_provider.node_norm2
                 if sim == SimilarityFunction.COSINE
@@ -1337,6 +1463,20 @@ class GraphIndexBuilder:
                 adj, w2t, fused_packed = _wave_apply_packed(
                     adj, w2t, fused_packed, adj_stream, fused_stream, mp
                 )
+            if cleanup:
+                # enforce on the PACKED layout: contiguous in-place slice
+                # updates instead of the unpacked path's whole-table
+                # scatter-copy loops (r4: 17.5s -> ~4s of the 1M build)
+                if timed:
+                    jax.block_until_ready(adj)
+                    log.info(
+                        "build phase: wave loop %.1fs", _time.time() - t_phase
+                    )
+                    t_phase = _time.time()
+                adj, counts = packed_cleanup(
+                    adj, counts, provider, cfg, num_nodes
+                )
+                enforced = True
             graph = GraphIndex(
                 layers=(_unpack_adjacency(adj, counts, cfg.row_cap),)
                 + graph.layers[1:],
@@ -1413,12 +1553,12 @@ class GraphIndexBuilder:
                 )
                 seeds.record(ids)
 
-        if timed:
+        if timed and not enforced:
             jax.block_until_ready(graph.base.neighbors)
             log.info("build phase: wave loop %.1fs", _time.time() - t_phase)
             t_phase = _time.time()
         if cleanup:
-            graph = self.cleanup(graph, provider, vectors)
+            graph = self.cleanup(graph, provider, vectors, enforce=not enforced)
             if timed:
                 jax.block_until_ready(graph.base.neighbors)
                 log.info("build phase: cleanup %.1fs", _time.time() - t_phase)
@@ -1528,16 +1668,24 @@ class GraphIndexBuilder:
         )
 
     def cleanup(
-        self, graph: GraphIndex, provider, vectors: jax.Array | None = None
+        self,
+        graph: GraphIndex,
+        provider,
+        vectors: jax.Array | None = None,
+        enforce: bool = True,
     ) -> GraphIndex:
-        """Enforce degree + recompute entry point (reference ``cleanup():472-508``)."""
+        """Enforce degree + recompute entry point (reference ``cleanup():472-508``).
+
+        ``enforce=False`` skips the degree pass (packed builds already ran
+        :func:`packed_cleanup` on the packed layout) and keeps only the
+        centroid entry-point selection."""
         cfg = self.config
         n_cap = graph.capacity
         # big chunks amortize the prune's sequential-step overhead (the
         # [B, C] per-step work is tiny; B=4096 keeps the VPU busy) — the
         # cleanup pass was ~25% of 1M build time at chunk 1024
         chunk = min(4096, max(cfg.wave_size, 64))
-        for start in range(0, n_cap, chunk):
+        for start in range(0, n_cap, chunk) if enforce else ():
             graph = _enforce_chunk(
                 graph, provider, jnp.int32(start), cfg, chunk
             )

@@ -757,6 +757,29 @@ def build_fused_sq4(
     return out, out_w2
 
 
+def build_fused_sq4_host(
+    neighbors: "np.ndarray",  # [B, R] int32, -1 padded
+    codes_packed: "np.ndarray",  # [N, MP] uint8 (host)
+    node_w2: "np.ndarray",  # [N] float32 (host)
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Numpy twin of :func:`build_fused_sq4` for host-resident saves.
+
+    The LTM save streams the fused layout into the index file; computing
+    it on DEVICE means downloading ~(MP+4) bytes x N x R over the link —
+    41 GB at 10M x 128d, ~38 min over a PCIe-class tunnel — for what is a
+    pure gather of host-resident codes.  Must stay bit-identical to the
+    device version (tests/test_ltm.py::test_build_fused_sq4_host_matches).
+    """
+    import numpy as np
+
+    safe = np.maximum(neighbors, 0)
+    ok = neighbors >= 0
+    gathered = codes_packed[safe]  # [B, R, MP]
+    gathered[~ok] = 0
+    w2 = np.where(ok, node_w2[safe], np.float32(0.0)).astype(np.float32)
+    return gathered.reshape(neighbors.shape[0], -1), w2
+
+
 @partial(_register, data_fields=["codes", "center"], meta_fields=["dim"])
 @dataclasses.dataclass(frozen=True)
 class BQScoreProvider:
