@@ -29,7 +29,16 @@ import numpy as np
 
 MAGIC = b"JVTPU\x00"
 FOOTER_MAGIC = b"JVBD"
-VERSION = 1
+# Version history (reference keeps V0-V6 back-compat reads,
+# OnDiskGraphIndex.java:71-72; every version here must keep loading):
+#   1 — initial container (frozen fixture: tests/fixtures/v1_frozen.jvtpu)
+#   2 — hierarchical LTM saves add per-level "graph/L{l}/node_ids" arrays
+#       and the "num_levels" meta key (ADDITIVE: the v1 parse handles both;
+#       v1 files simply have num_levels == 1).  A future layout-breaking
+#       change must dispatch on ``IndexFileReader.version`` and keep the
+#       older parse alive — the reader stores the file's own version for
+#       exactly that purpose.
+VERSION = 2
 _ALIGN = 64
 
 
