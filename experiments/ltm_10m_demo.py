@@ -86,11 +86,13 @@ t0 = time.time()
 if _index_complete(path):
     print("index already built; skipping to serve", flush=True)
 else:
-    # checkpoint_every=4800 waves (~35 min of build): a tunnel outage loses
-    # at most one checkpoint interval, and the re-run resumes automatically
+    # one mid-run checkpoint: each checkpoint downloads ~5.9 GB of device
+    # state over the ~18 MB/s tunnel (7.5 min measured r4) while steady-state
+    # waves run ~0.1 s, so frequent checkpoints would dominate the build; a
+    # tunnel outage loses at most half the wave loop and resumes automatically
     build_on_disk_ltm(path, lambda a, b: base_np[a:b], n=N, dim=D,
                       config=cfg, compression="sq4", capacity=N,
-                      checkpoint_every=4800)
+                      checkpoint_every=9800)
     build_s = time.time() - t0
     print(f"LTM build 10M: {build_s:.1f}s  file={os.path.getsize(path)/1e9:.2f} GB",
           flush=True)
