@@ -22,12 +22,15 @@ def main(path: str) -> None:
 
     waves = re.findall(r"ltm build wave (\d+)/(\d+) \((\d+\.\d+)s\)", txt)
     ckpts = re.findall(r"ltm checkpoint at wave (\d+)", txt)
+    ckpt_waves = {int(c) for c in ckpts}
     # steady-state wave rate: median of inter-log deltas excluding
-    # checkpoint-straddling gaps
+    # checkpoint-straddling gaps (a gap whose wave range contains a logged
+    # checkpoint wave includes the ~minutes-long checkpoint download)
     deltas = []
     for (w0, _, t0), (w1, _, t1) in zip(waves, waves[1:]):
         dw, dt = int(w1) - int(w0), float(t1) - float(t0)
-        if dw > 0:
+        straddles = any(int(w0) < c <= int(w1) for c in ckpt_waves)
+        if dw > 0 and not straddles:
             deltas.append(dt / dw * 1000)
     deltas.sort()
     wave_ms = deltas[len(deltas) // 2] if deltas else None

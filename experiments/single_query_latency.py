@@ -82,9 +82,12 @@ def main() -> None:
             for ev in data.get("traceEvents", []):
                 if ev.get("ph") == "X" and "dur" in ev:
                     agg[ev.get("name", "?")] += ev["dur"] / 1e3
-        # device program durations: the jitted search + rerank programs
+        # device program durations: ONLY top-level XLA module/executable
+        # events (named "jit_<fn>"), never their child ops — trace X-events
+        # nest, and summing both a module event and its children would
+        # double-count device time
         dev_ms = sum(ms for name, ms in agg.items()
-                     if "search" in name.lower() or "jit_" in name) / 10.0
+                     if name.startswith("jit_")) / 10.0
         top = sorted(agg.items(), key=lambda kv: -kv[1])[:8]
         out[f"Q{q}"] = {
             "wall_p50_ms": round(float(np.quantile(lat, 0.5)), 2),

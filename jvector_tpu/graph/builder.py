@@ -1252,11 +1252,20 @@ def _enforce_packed_chunk(
     new_ids = jnp.concatenate(
         [p_ids, jnp.full((chunk, 64 - M), -1, jnp.int32)], axis=1
     )
+    # score lanes: NEG_INF pads only up to r_cap (mirroring _pack_adjacency /
+    # _empty_packed_adjacency); lanes 64+r_cap..128 stay int32 zero so a
+    # post-cleanup packed row remains bit-identical to _pack_adjacency of
+    # its unpacked layer (pack-layout invariant; advisor r4)
     new_sc = jnp.concatenate(
-        [p_scores, jnp.full((chunk, 64 - M), NEG_INF, jnp.float32)], axis=1
+        [p_scores, jnp.full((chunk, r_cap - M), NEG_INF, jnp.float32)], axis=1
     )
     new_flat = jnp.concatenate(
-        [new_ids, jax.lax.bitcast_convert_type(new_sc, jnp.int32)], axis=1
+        [
+            new_ids,
+            jax.lax.bitcast_convert_type(new_sc, jnp.int32),
+            jnp.zeros((chunk, 64 - r_cap), jnp.int32),
+        ],
+        axis=1,
     )
     new_flat = jnp.where(valid_row[:, None], new_flat, flat)
     new_cnt = jnp.where(valid_row, p_count, cnt)
