@@ -264,6 +264,16 @@ def main() -> None:
             "build_seconds": round(build_s, 1),
         }
     }
+    # Free the headline index BEFORE the robustness builds: each robustness
+    # corpus builds its own full 1M flagship (~7 GB fused table + graph +
+    # vectors + build transients); two resident 1M indexes exceed the 16 GB
+    # chip (BENCH_r04 RESOURCE_EXHAUSTED).  Every closure and direct
+    # reference to the headline device arrays must die here.
+    import gc
+
+    del graph, exact_provider, sq4_provider, run_sq4, run_exact, flagship_run
+    del qd, waves
+    gc.collect()
     if not args.skip_robustness:
         rq = min(args.queries, 4096)
         rq = max(w, (rq // w) * w)  # whole waves
