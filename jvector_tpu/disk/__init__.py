@@ -23,12 +23,18 @@ from jvector_tpu.disk.format import (
     write_index,
     OnDiskIndex,
 )
-from jvector_tpu.disk.compaction import CompactionSource, compact_indexes
+from jvector_tpu.disk.compaction import (
+    CompactionSource,
+    compact_indexes,
+    compact_on_disk,
+)
+from jvector_tpu.disk.device_tier import DeviceTierIndex
 from jvector_tpu.disk.host_graph import HostGraphIndex, ShardedHostIndex
 from jvector_tpu.disk.host_tier import HostVectorStore
 from jvector_tpu.disk.ltm import build_on_disk_ltm
 
 __all__ = [
+    "DeviceTierIndex",
     "FeatureId",
     "IndexFileReader",
     "IndexFileWriter",
@@ -37,6 +43,7 @@ __all__ = [
     "OnDiskIndex",
     "CompactionSource",
     "compact_indexes",
+    "compact_on_disk",
     "HostGraphIndex",
     "ShardedHostIndex",
     "HostVectorStore",

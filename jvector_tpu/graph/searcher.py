@@ -141,6 +141,7 @@ def _merge_beam(beam_ids, beam_scores, beam_expanded, new_ids, new_scores):
         "stop_patience",
         "result_k",
         "packed_rows",
+        "packed_pairs",
     ),
 )
 def search_layer(
@@ -162,6 +163,13 @@ def search_layer(
     # graph is ``[N/8, 8, 128]`` int32 (ids in lanes [0:packed_rows], f32
     # score bits in [64:64+R]); the body gathers one 512-byte physical row
     # per expansion — same row-count-bound gather cost as a [N, R] table
+    packed_pairs: int | None = None,  # serving paired-row mode: the graph
+    # is ``[N/2, 2*R]`` int32, node ``i``'s ids in lanes
+    # ``[(i&1)*R : (i&1)*R + R]`` of physical row ``i >> 1``.  A plain
+    # ``[N, R]`` i32 table with R <= 64 lane-pads 2x on TPU (tile minor
+    # 128); pairing two nodes per physical row halves the HBM footprint
+    # (2.56 GB vs 5.1 GB at 10M x R=64) at the same row-count-bound
+    # gather cost.  Value = R (ids per node).
 ) -> BeamState:
     """Run beam search to quiescence on one adjacency layer.
 
@@ -181,6 +189,8 @@ def search_layer(
     """
     if packed_rows is not None:
         R = packed_rows
+    elif packed_pairs is not None:
+        R = packed_pairs
     else:
         _, R = graph_neighbors.shape
     L = beam_width
@@ -330,6 +340,12 @@ def search_layer(
         if packed_rows is not None:
             prows = graph_neighbors[safe_sel >> 3, safe_sel & 7]  # [Q, E, 128]
             nbrs = prows[..., :R].reshape(s.ids.shape[0], -1)  # [Q, E*R]
+        elif packed_pairs is not None:
+            prows = graph_neighbors[safe_sel >> 1]  # [Q, E, 2R]
+            hi = ((safe_sel & 1) == 1)[..., None]
+            nbrs = jnp.where(hi, prows[..., R:], prows[..., :R]).reshape(
+                s.ids.shape[0], -1
+            )  # [Q, E*R]
         else:
             nbrs = graph_neighbors[safe_sel].reshape(s.ids.shape[0], -1)
         valid = (nbrs >= 0) & jnp.repeat(active, R, axis=1)
