@@ -41,10 +41,15 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from jvector_tpu.graph.builder import (
+    _empty_packed_adjacency,
     _fused_aligned_config,
     _insert_wave,
+    _packed_build_eligible,
     _shuffled_wave_starts,
+    _unpack_adjacency,
+    _wave_apply_packed,
     _wave_search,
+    _wave_update_compute,
     _wave_update_fused,
 )
 from jvector_tpu.graph.index import NEG_INF, GraphConfig, GraphIndex, empty_graph
@@ -126,7 +131,9 @@ def sharded_build(
         config = _fused_aligned_config(config, (vectors.shape[1] + 1) // 2)
     n_dev = mesh.devices.size
     n, d = vectors.shape
-    n_local = -(-n // n_dev)
+    # shard capacity rounded to %8: the packed [N/8, 8, 128] adjacency
+    # needs it, and a few inert pad rows cost nothing in the other modes
+    n_local = ((-(-n // n_dev) + 7) // 8) * 8
     pad = n_dev * n_local - n
     vp = np.concatenate([vectors, np.zeros((pad, d), np.float32)]) if pad else np.asarray(vectors, np.float32)
     # block partition: shard s owns global ids [s*n_local, (s+1)*n_local)
@@ -145,10 +152,8 @@ def sharded_build(
         proto,
     )
 
-    # per-shard live count (the final shard may be ragged)
-    counts = np.full(n_dev, n_local, np.int64)
-    if pad:
-        counts[-1] = n_local - pad
+    # per-shard live count (rounding can leave MULTIPLE ragged tail shards)
+    counts = np.clip(n - np.arange(n_dev) * n_local, 0, n_local).astype(np.int64)
 
     if build_compression == "sq4":
         return _sharded_build_sq4(
@@ -229,6 +234,14 @@ def _sharded_build_sq4(
     shard2 = NamedSharding(mesh, P(axis, None))
     codes = jax.device_put(codes, shard3)
     r_cap = config.row_cap
+    if _packed_build_eligible(config, mp, n_local):
+        # the lowest-memory per-shard regime (the 100M / pod design): each
+        # shard runs the packed-adjacency three-program wave loop shard-
+        # locally (same programs as the single-chip r4 build and the LTM)
+        return _sharded_build_sq4_packed(
+            sq, codes, w2, norm2, const, providers, counts, mesh, config,
+            sim, axis, n_local, stacked,
+        )
     fused_packed = jax.device_put(
         jnp.zeros((n_dev, n_local, r_cap * mp), jnp.uint8), shard3
     )
@@ -326,6 +339,171 @@ def _sharded_build_sq4(
 
     search_providers = dataclasses.replace(
         base_provider, fused_packed=fused_packed, fused_w2=fused_w2
+    )
+    return ShardedIndex(
+        graphs=graphs,
+        providers=providers,
+        n_shards=n_dev,
+        n_local=n_local,
+        n_total=int(counts.sum()),
+        search_providers=search_providers,
+        sim=sim,
+    )
+
+
+def _sharded_build_sq4_packed(
+    sq, codes, w2, norm2, const, providers, counts, mesh, config, sim, axis,
+    n_local, stacked,
+):
+    """Packed-adjacency sharded build: the r4 three-program wave loop
+    (read-only packed search / read+compute / aliased in-place apply —
+    see ``graph/builder.py``'s packed-wave module comment) running
+    shard-locally under ``shard_map``.  The lowest-memory per-shard build
+    regime: adjacency+scores share one ``[n/8, 8, 128]`` int32 table per
+    shard, in-place updated, so a pod mesh builds with the same HBM
+    profile per chip as the single-chip 10M build."""
+    from jvector_tpu.graph.score import sq4_aug_rows
+
+    n_dev = mesh.devices.size
+    mp = codes.shape[-1]
+    r_cap = config.row_cap
+
+    def put(x):
+        return jax.device_put(
+            x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))
+        )
+
+    w2 = put(w2)
+    norm2 = put(norm2)
+    const_dev = put(const)
+    aug = put(sq4_aug_rows(codes, const_dev))
+    k_row = r_cap * mp
+    fused_packed = put(
+        jnp.zeros((n_dev, n_local, k_row // 128, 128), jnp.uint8)
+    )
+    adj = put(
+        jnp.broadcast_to(
+            _empty_packed_adjacency(n_local, r_cap)[None],
+            (n_dev, n_local // 8, 8, 128),
+        )
+    )
+    w2t = put(jnp.zeros((n_dev, n_local // 8, 8, 128), jnp.int32))
+    cnt = put(jnp.zeros((n_dev, n_local), jnp.int32))
+    entry = put(jnp.full((n_dev,), -1, jnp.int32))
+    num = put(jnp.zeros((n_dev,), jnp.int32))
+
+    base_provider = SQ4ScoreProvider(
+        codes_packed=codes,
+        node_w2=w2,
+        node_norm2=norm2,
+        fused_packed=fused_packed,
+        fused_w2=w2t,
+        scale=sq.scale,
+        offset=sq.offset,
+        codes_aug=aug,
+        sim=sim,
+    )
+    sq4_specs = _sq4_spec(axis, sim)
+    prov_specs = _shard_specs(providers, axis)
+
+    def _search_local(a, bp, ent, ids, wv):
+        bp0 = _strip_sq4(bp)
+        bi, bs = _wave_search(a[0], bp0, ent[0], ids[0], wv[0], config)
+        return bi[None], bs[None]
+
+    search_step = jax.jit(
+        jax.shard_map(
+            _search_local,
+            mesh=mesh,
+            in_specs=(P(axis), sq4_specs, P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis)),
+            check_vma=False,
+        )
+    )
+
+    def _compute_local(a, c, ent, nn, ep, cp, cd, ids, wv, bi, bs):
+        ep0 = jax.tree.map(lambda x: x[0], ep)
+        c2, e2, n2, adj_stream, fused_stream = _wave_update_compute(
+            a[0], c[0], ent[0], nn[0], ep0, cp[0], cd[0], ids[0], wv[0],
+            bi[0], bs[0], config,
+        )
+        lift = lambda t: jax.tree.map(lambda x: x[None], t)  # noqa: E731
+        return c2[None], e2[None], n2[None], lift(adj_stream), lift(fused_stream)
+
+    compute_step = jax.jit(
+        jax.shard_map(
+            _compute_local,
+            mesh=mesh,
+            in_specs=(
+                P(axis), P(axis), P(axis), P(axis), prov_specs,
+                P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+            ),
+            out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+            check_vma=False,
+        ),
+        donate_argnums=(1,),
+    )
+
+    def _apply_local(a, wt, fp, adj_stream, fused_stream):
+        strip = lambda t: jax.tree.map(lambda x: x[0], t)  # noqa: E731
+        a2, w2_, f2 = _wave_apply_packed(
+            a[0], wt[0], fp[0], strip(adj_stream), strip(fused_stream), mp
+        )
+        return a2[None], w2_[None], f2[None]
+
+    apply_step = jax.jit(
+        jax.shard_map(
+            _apply_local,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(axis)),
+            check_vma=False,
+        ),
+        donate_argnums=(0, 1, 2),
+    )
+
+    w = config.wave_size
+    for start in _shuffled_wave_starts(n_local, w):
+        ids_per_shard, wave_vecs = _wave_inputs(
+            start, w, counts, stacked, n_local, n_dev
+        )
+        ids_dev = put(ids_per_shard)
+        wv_dev = put(wave_vecs)
+        bp = dataclasses.replace(
+            base_provider, fused_packed=fused_packed, fused_w2=w2t
+        )
+        bi, bs = search_step(adj, bp, entry, ids_dev, wv_dev)
+        cnt, entry, num, adj_stream, fused_stream = compute_step(
+            adj, cnt, entry, num, providers, codes, const_dev,
+            ids_dev, wv_dev, bi, bs,
+        )
+        adj, w2t, fused_packed = apply_step(
+            adj, w2t, fused_packed, adj_stream, fused_stream
+        )
+
+    def _unpack_local(a, c):
+        layer = _unpack_adjacency(a[0], c[0], r_cap)
+        return jax.tree.map(lambda x: x[None], layer)
+
+    unpack = jax.jit(
+        jax.shard_map(
+            _unpack_local,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+    )
+    layer = unpack(adj, cnt)
+    graphs = GraphIndex(
+        layers=(layer,),
+        level_node_ids=(),
+        entry_node=entry,
+        num_nodes=num,
+        deleted=put(jnp.zeros((n_dev, n_local), bool)),
+    )
+    search_providers = dataclasses.replace(
+        base_provider, fused_packed=fused_packed, fused_w2=w2t
     )
     return ShardedIndex(
         graphs=graphs,
@@ -475,11 +653,26 @@ def save_sharded(index: ShardedIndex, directory: str | os.PathLike) -> None:
                 if index.sim == SimilarityFunction.COSINE
                 else sq4.node_w2
             )
+            # normalize the packed-build layouts to the on-disk 2-D
+            # convention: rank-3 fused rows flatten, and the packed
+            # [n/8, 8, 128] int32 w2 table (f32 bits in lanes [0:R])
+            # unpacks to [n, R] float32
+            fp = np.asarray(sq4.fused_packed[s])
+            if fp.ndim == 3:
+                fp = fp.reshape(fp.shape[0], -1)
+            fw = np.asarray(sq4.fused_w2[s])
+            if fw.ndim == 3:
+                r_cap = index.graphs.layers[0].neighbors.shape[-1]
+                fw = (
+                    fw.reshape(-1, 128)[:, :r_cap]
+                    .copy()
+                    .view(np.float32)
+                )
             feats[FeatureId.FUSED_SQ4] = {
                 "codes_packed": np.asarray(sq4.codes_packed[s]),
                 "node_const": np.asarray(const[s]),
-                "fused_packed": np.asarray(sq4.fused_packed[s]),
-                "fused_w2": np.asarray(sq4.fused_w2[s]),
+                "fused_packed": fp,
+                "fused_w2": fw,
                 "scale": np.asarray(sq4.scale),
                 "offset": np.asarray(sq4.offset),
             }
