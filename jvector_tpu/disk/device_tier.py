@@ -147,11 +147,20 @@ class DeviceTierIndex:
         # [(neighbors, counts, node_ids)] for levels 1..L-1, slot-space
         deleted: np.ndarray | None = None,
         rerank_dtype=jnp.bfloat16,
+        paired: bool = False,  # neighbors IS already the [N/2, 2*Rp] blob
+        # (the v3 on-disk layout) — uploaded verbatim, no host repack
     ) -> "DeviceTierIndex":
         sim = SimilarityFunction.parse(sim)
-        n_cap, r = neighbors.shape
-        r_pad = ((max(r, 1) + 63) // 64) * 64
-        pairs = jnp.asarray(pack_adjacency_pairs_host(np.asarray(neighbors), r_pad))
+        if paired:
+            r_pad = neighbors.shape[1] // 2
+            pairs = jnp.asarray(np.asarray(neighbors, np.int32))
+            n_cap = codes_packed.shape[0]
+        else:
+            n_cap, r = neighbors.shape
+            r_pad = ((max(r, 1) + 63) // 64) * 64
+            pairs = jnp.asarray(
+                pack_adjacency_pairs_host(np.asarray(neighbors), r_pad)
+            )
         cap2 = pairs.shape[0] * 2  # >= n_cap (odd-capacity phantom)
 
         const = np.zeros(cap2, np.float32)
@@ -263,7 +272,14 @@ class DeviceTierIndex:
                 logger.info("device-tier load: %s", msg)
 
         step("adjacency")
-        neighbors = np.asarray(r.read("graph/L0/neighbors"))
+        paired = not r.has_array("graph/L0/neighbors") and (
+            r.meta.get("l0_layout") == "paired"
+        )
+        if paired:
+            # v3 layout: the blob IS the device layout — zero host repack
+            neighbors = np.asarray(r.read("graph/L0/neighbors_paired"))
+        else:
+            neighbors = np.asarray(r.read("graph/L0/neighbors"))
         step("codes")
         codes = np.asarray(r.read(f"{f}/codes_packed"))
         const = np.asarray(r.read(f"{f}/node_const"))
@@ -300,6 +316,7 @@ class DeviceTierIndex:
             upper_layers=upper,
             deleted=deleted,
             rerank_dtype=rerank_dtype,
+            paired=paired,
         )
         step(f"done ({idx.hbm_bytes() / 2**30:.2f} GB HBM)")
         return idx

@@ -34,11 +34,20 @@ FOOTER_MAGIC = b"JVBD"
 #   1 — initial container (frozen fixture: tests/fixtures/v1_frozen.jvtpu)
 #   2 — hierarchical LTM saves add per-level "graph/L{l}/node_ids" arrays
 #       and the "num_levels" meta key (ADDITIVE: the v1 parse handles both;
-#       v1 files simply have num_levels == 1).  A future layout-breaking
-#       change must dispatch on ``IndexFileReader.version`` and keep the
-#       older parse alive — the reader stores the file's own version for
-#       exactly that purpose.
-VERSION = 2
+#       v1 files simply have num_levels == 1).
+#       Frozen fixture: tests/fixtures/v2_frozen.jvtpu.
+#   3 — BREAKING (layout dispatch): the L0 adjacency may be stored in the
+#       PAIRED device layout instead of "graph/L0/neighbors" — array
+#       "graph/L0/neighbors_paired" int32 [N/2, 2*Rp] (two nodes per
+#       physical row, -1 padded; meta "l0_layout" = "paired", "l0_row_cap"
+#       = the logical row width R).  Device tiers upload the blob as-is
+#       (no host repack); plain-layout consumers reconstruct [N, R] via
+#       ``unpack_paired_neighbors``.  Files using the paired layout stamp
+#       version 3 so v<=2 readers refuse them; files without it keep
+#       stamping 2 (the minimum version that can read them — the
+#       reference's writer ``withVersion`` contract).
+VERSION = 3
+WRITE_VERSION_DEFAULT = 2
 _ALIGN = 64
 
 
@@ -83,10 +92,16 @@ class IndexFileWriter:
     sequential, reserved extents are written positionally.
     """
 
-    def __init__(self, path: str | os.PathLike):
+    def __init__(self, path: str | os.PathLike, version: int | None = None):
         self.path = str(path)
+        # a file stamps the MINIMUM version able to read it (reference
+        # writer Builder.withVersion): plain layouts stay at 2 so older
+        # readers keep working; the v3 paired-L0 layout stamps 3
+        self.version = WRITE_VERSION_DEFAULT if version is None else version
+        if not (1 <= self.version <= VERSION):
+            raise ValueError(f"unsupported write version {version}")
         self._f = open(self.path, "wb+")
-        self._f.write(MAGIC + struct.pack("<H", VERSION))
+        self._f.write(MAGIC + struct.pack("<H", self.version))
         self._arrays: dict[str, _ArrayEntry] = {}
         self._meta: dict = {}
         self._closed = False
@@ -179,6 +194,7 @@ class IndexFileWriter:
         if w._f.read(6) != MAGIC:
             w._f.close()
             raise ValueError(f"{path}: bad magic (not a jvtpu file)")
+        w.version = struct.unpack("<H", w._f.read(2))[0]
         w._f.truncate(state["file_size"])
         w._f.seek(0, os.SEEK_END)
         w._arrays = {
@@ -199,7 +215,7 @@ class IndexFileWriter:
         if self._closed:
             return
         header = {
-            "version": VERSION,
+            "version": self.version,
             "meta": self._meta,
             "arrays": {
                 k: dataclasses.asdict(v) for k, v in self._arrays.items()
@@ -284,6 +300,33 @@ class IndexFileReader:
 # ---------------------------------------------------------------------------
 
 
+def unpack_paired_neighbors(paired: np.ndarray, n_cap: int, r: int) -> np.ndarray:
+    """v3 paired ``[N/2, 2*Rp]`` blob -> plain ``[N_cap, R]`` (host)."""
+    n2, lanes = paired.shape
+    rp = lanes // 2
+    return np.ascontiguousarray(
+        np.asarray(paired).reshape(n2 * 2, rp)[:n_cap, :r]
+    )
+
+
+def _read_l0_neighbors(reader: "IndexFileReader") -> np.ndarray:
+    """Version-dispatching L0 adjacency read (plain [N, R] either way).
+
+    The v3 paired layout is the rehearsed breaking change (see the version
+    history): v1/v2 files carry ``graph/L0/neighbors``; v3 files MAY carry
+    only ``graph/L0/neighbors_paired``.
+    """
+    if reader.has_array("graph/L0/neighbors"):
+        return np.asarray(reader.read("graph/L0/neighbors"))
+    if reader.meta.get("l0_layout") == "paired":
+        paired = reader.read("graph/L0/neighbors_paired")
+        n_cap = reader.read("graph/L0/counts").shape[0]
+        return unpack_paired_neighbors(
+            paired, n_cap, reader.meta["l0_row_cap"]
+        )
+    raise ValueError(f"{reader.path}: no L0 adjacency array")
+
+
 @dataclasses.dataclass
 class OnDiskIndex:
     """A loaded index: graph arrays + feature arrays + metadata.
@@ -315,7 +358,10 @@ class OnDiskIndex:
         layers = []
         level_ids = []
         for l in range(levels):
-            nbrs = jnp.asarray(np.asarray(r.read(f"graph/L{l}/neighbors")))
+            if l == 0:
+                nbrs = jnp.asarray(_read_l0_neighbors(r))
+            else:
+                nbrs = jnp.asarray(np.asarray(r.read(f"graph/L{l}/neighbors")))
             counts = jnp.asarray(np.asarray(r.read(f"graph/L{l}/counts")))
             name = f"graph/L{l}/scores"
             if r.has_array(name):
@@ -394,6 +440,7 @@ def write_index(
     features: dict[str, dict[str, np.ndarray]] | None = None,
     save_scores: bool = False,
     renumber: bool = True,
+    paired_adjacency: bool = False,
     **meta,
 ) -> None:
     """Persist a :class:`GraphIndex` (+ feature arrays) to ``path``.
@@ -407,15 +454,35 @@ def write_index(
     arrays whose first dimension equals the graph capacity (or num_nodes)
     are re-gathered through the same mapper, and the mapper itself is stored
     as array ``"ordinal_mapper"`` (old -> new, -1 for dropped).
+
+    ``paired_adjacency=True`` writes the v3 PAIRED L0 layout (see the
+    version-history note): the blob uploads into the device tier with no
+    host repack and the file stamps version 3 (v<=2 readers refuse it —
+    the rehearsed breaking format bump).  Implies ``save_scores=False``.
     """
     features = features or {}
     mapper = sequential_renumbering(graph) if renumber else None
     if mapper is not None:
         _write_index_renumbered(path, graph, features, save_scores, mapper, meta)
         return
-    with IndexFileWriter(path) as w:
+    with IndexFileWriter(path, version=3 if paired_adjacency else None) as w:
         num_levels = graph.num_levels
         for l, layer in enumerate(graph.layers):
+            if l == 0 and paired_adjacency:
+                from jvector_tpu.disk.device_tier import (
+                    pack_adjacency_pairs_host,
+                )
+
+                nbrs = np.asarray(layer.neighbors)
+                r = nbrs.shape[1]
+                r_pad = ((max(r, 1) + 63) // 64) * 64
+                w.add_array(
+                    "graph/L0/neighbors_paired",
+                    pack_adjacency_pairs_host(nbrs, r_pad),
+                )
+                w.add_array("graph/L0/counts", np.asarray(layer.counts))
+                w.set_meta(l0_layout="paired", l0_row_cap=r)
+                continue
             w.add_array(f"graph/L{l}/neighbors", np.asarray(layer.neighbors))
             w.add_array(f"graph/L{l}/counts", np.asarray(layer.counts))
             if save_scores:

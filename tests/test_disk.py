@@ -174,3 +174,117 @@ def test_v1_frozen_fixture_reads():
     np.testing.assert_allclose(
         np.asarray(graph.base.scores), expect["scores"], rtol=1e-7
     )
+
+
+def test_v2_frozen_fixture_reads():
+    """v2 fixture (hierarchy node_ids arrays) frozen before the v3 bump must
+    keep loading byte-identically (reference testV0Read pattern)."""
+    import pathlib
+
+    from jvector_tpu.disk.format import load_index
+
+    fix = pathlib.Path(__file__).parent / "fixtures"
+    idx = load_index(fix / "v2_frozen.jvtpu")
+    assert idx.reader.version == 2
+    expect = np.load(fix / "v2_frozen_expect.npz")
+    graph, feats = idx.to_device()
+    assert graph.num_levels == int(expect["num_levels"])
+    assert int(graph.entry_node) == int(expect["entry"])
+    np.testing.assert_array_equal(
+        np.asarray(graph.base.neighbors), expect["neighbors"]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(graph.layers[1].neighbors), expect["l1_neighbors"]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(graph.level_node_ids[0]), expect["l1_node_ids"]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(feats["inline_vectors"]["vectors"]), expect["vectors"]
+    )
+
+
+def test_v3_paired_layout_round_trip(tmp_path):
+    """The rehearsed BREAKING bump: v3 stores L0 in the paired device layout.
+
+    - a v3 file round-trips to the same graph as the plain v2 write
+    - it stamps version 3, and a v2-era reader (VERSION monkeypatched back)
+      refuses it (reference CommonHeader version gate)
+    - plain writes still stamp 2 (minimum version able to read them)
+    """
+    import pytest
+
+    from jvector_tpu.disk import format as fmt
+    from jvector_tpu.graph import GraphConfig, build_graph
+
+    ds = synthetic_dataset(n=300, dim=16, n_queries=4, k=5, seed=77)
+    cfg = GraphConfig(max_degree=8, ef_construction=24, wave_size=64)
+    g, _ = build_graph(ds.base, ds.similarity, cfg)
+
+    plain = str(tmp_path / "plain.jvtpu")
+    paired = str(tmp_path / "paired.jvtpu")
+    feats = {FeatureId.INLINE_VECTORS: {"vectors": np.asarray(ds.base)}}
+    write_index(plain, g, features=feats, renumber=False)
+    write_index(paired, g, features=feats, renumber=False,
+                paired_adjacency=True)
+
+    r_plain = fmt.IndexFileReader(plain)
+    r_paired = fmt.IndexFileReader(paired)
+    assert r_plain.version == 2
+    assert r_paired.version == 3
+    assert not r_paired.has_array("graph/L0/neighbors")
+    assert r_paired.meta["l0_layout"] == "paired"
+
+    g1, _ = load_index(plain).to_device()
+    g2, _ = load_index(paired).to_device()
+    np.testing.assert_array_equal(
+        np.asarray(g1.base.neighbors), np.asarray(g2.base.neighbors)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(g1.base.counts), np.asarray(g2.base.counts)
+    )
+
+    # a v2-era reader refuses the v3 file instead of misparsing it
+    old = fmt.VERSION
+    try:
+        fmt.VERSION = 2
+        with pytest.raises(ValueError, match="unsupported version"):
+            fmt.IndexFileReader(paired)
+        fmt.IndexFileReader(plain)  # v2 files keep loading
+    finally:
+        fmt.VERSION = old
+
+
+def test_v3_paired_feeds_device_tier(tmp_path):
+    """DeviceTierIndex uploads the v3 paired blob verbatim (no host repack)
+    and serves at parity with the plain layout."""
+    from jvector_tpu.disk import DeviceTierIndex
+    from jvector_tpu.disk.ltm import build_on_disk_ltm
+    from jvector_tpu.graph import GraphConfig
+    from jvector_tpu.util.datasets import exact_ground_truth, recall_at_k
+
+    ds = synthetic_dataset(n=2000, dim=32, n_queries=30, k=10, seed=55)
+    gt = exact_ground_truth(ds.base, ds.queries, 10)
+    cfg = GraphConfig(max_degree=16, ef_construction=48, wave_size=256)
+    plain = str(tmp_path / "p.jvtpu")
+    build_on_disk_ltm(plain, ds.base, n=2000, dim=32, config=cfg,
+                      compression="sq4")
+    # rewrite the same index in the v3 paired layout
+    from jvector_tpu.disk.format import IndexFileReader
+
+    r = IndexFileReader(plain)
+    odi = load_index(plain)
+    g, feats = odi.to_device()
+    paired = str(tmp_path / "p3.jvtpu")
+    write_index(
+        paired, g,
+        features={k: {a: np.asarray(v) for a, v in d.items()}
+                  for k, d in feats.items()},
+        renumber=False, paired_adjacency=True,
+        similarity=r.meta["similarity"],
+    )
+    idx3 = DeviceTierIndex.load(paired)
+    res = idx3.search(jnp.asarray(ds.queries), top_k=10, beam_width=60,
+                      entry_seeds=4)
+    r3 = recall_at_k(np.asarray(res.ids), gt, 10)
+    assert r3 >= 0.9, r3
