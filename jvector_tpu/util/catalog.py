@@ -3,9 +3,13 @@
 Reference: ``benchmarks/datasets/DataSets``/``DataSetLoader`` — the bench
 harness resolves regex-selected dataset names against YAML catalogs
 (``yaml-configs/dataset-catalogs/*.yaml``), each entry naming format and
-file locations (env vars expanded).  Download/cloud-fetch is omitted here
-(zero-egress container); entries resolve against the local filesystem or
-define synthetic corpora generated on device with exact ground truth.
+file locations (env vars expanded), auto-downloading missing files (incl.
+S3/GCS).  Entries here resolve against the local filesystem, define
+synthetic corpora generated on device with exact ground truth, or carry
+``url``/``urls`` for auto-fetch of missing files (``file://``, ``http(s)``,
+and ``s3://``/``gs://`` via the buckets' public HTTPS endpoints).  The
+build container is zero-egress, so network fetches are exercised through
+``file://`` URLs and an injectable fetcher in tests.
 
 Catalog schema (one YAML file, top-level ``datasets:`` map)::
 
@@ -14,9 +18,13 @@ Catalog schema (one YAML file, top-level ``datasets:`` map)::
         format: fvecs          # X_base.fvecs / X_query.fvecs / X_groundtruth.ivecs
         prefix: ${DATA}/siftsmall/siftsmall
         similarity: euclidean
+        urls:                  # optional auto-fetch for missing files
+          base: s3://my-bucket/siftsmall_base.fvecs
+          query: file:///mnt/share/siftsmall_query.fvecs
       glove-100:
         format: hdf5
         path: ${DATA}/glove-100-angular.hdf5
+        url: http://ann-benchmarks.com/glove-100-angular.hdf5
         similarity: cosine
       synth-1m:
         format: synthetic
@@ -43,6 +51,48 @@ from jvector_tpu.util.datasets import (
 )
 
 
+def resolve_url(url: str) -> str:
+    """Rewrite cloud-scheme URLs to their public HTTPS endpoints.
+
+    Reference ``DataSetLoader`` fetches from S3/GCS; anonymous reads go
+    through the buckets' HTTPS endpoints so no SDK dependency is needed.
+    """
+    if url.startswith("s3://"):
+        bucket, _, key = url[len("s3://") :].partition("/")
+        return f"https://{bucket}.s3.amazonaws.com/{key}"
+    if url.startswith("gs://"):
+        bucket, _, key = url[len("gs://") :].partition("/")
+        return f"https://storage.googleapis.com/{bucket}/{key}"
+    return url
+
+
+def fetch(url: str, dest: str, fetcher=None) -> str:
+    """Download ``url`` to ``dest`` (atomic tmp+rename; no-op if present).
+
+    ``fetcher(url, tmp_path)`` overrides the transport (tests inject one;
+    deployments can plug authenticated clients).  Default transport:
+    ``file://`` copies, anything else goes through urllib over HTTPS
+    (``s3://``/``gs://`` rewritten by :func:`resolve_url`).
+    """
+    if os.path.exists(dest):
+        return dest
+    os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
+    tmp = dest + ".part"
+    url = resolve_url(url)
+    if fetcher is not None:
+        fetcher(url, tmp)
+    elif url.startswith("file://"):
+        import shutil
+
+        shutil.copyfile(url[len("file://") :], tmp)
+    else:
+        import urllib.request
+
+        urllib.request.urlretrieve(url, tmp)  # noqa: S310 (catalog-declared)
+    os.replace(tmp, dest)
+    return dest
+
+
 @dataclasses.dataclass
 class Catalog:
     """A parsed dataset catalog."""
@@ -65,8 +115,14 @@ class Catalog:
         rx = re.compile(pattern)
         return [n for n in self.names() if rx.search(n)]
 
-    def open(self, name: str) -> DataSet:
-        """Resolve one entry to a loaded :class:`DataSet`."""
+    def open(self, name: str, fetcher=None) -> DataSet:
+        """Resolve one entry to a loaded :class:`DataSet`.
+
+        Entries with ``url`` (hdf5) / ``urls`` (fvecs: keys base/query/
+        groundtruth) auto-fetch missing files first (reference
+        ``DataSetLoader`` download path); ``fetcher`` overrides the
+        transport (see :func:`fetch`).
+        """
         if name not in self.entries:
             raise KeyError(f"dataset {name!r} not in catalog ({self.names()})")
         e = dict(self.entries[name])
@@ -85,9 +141,23 @@ class Catalog:
             )
         if fmt == "hdf5":
             path = os.path.expandvars(e["path"])
+            if not os.path.exists(path) and e.get("url"):
+                fetch(os.path.expandvars(e["url"]), path, fetcher)
             return load_hdf5(path, name=name)
         if fmt == "fvecs":
             prefix = os.path.expandvars(e["prefix"])
+            suffixes = {
+                "base": "_base.fvecs",
+                "query": "_query.fvecs",
+                "groundtruth": "_groundtruth.ivecs",
+            }
+            for key, url in (e.get("urls") or {}).items():
+                if key not in suffixes:
+                    raise ValueError(
+                        f"{name!r}: unknown urls key {key!r} "
+                        f"(expected {sorted(suffixes)})"
+                    )
+                fetch(os.path.expandvars(url), prefix + suffixes[key], fetcher)
             ds = load_dataset(prefix)
             if ds is None:
                 raise FileNotFoundError(f"dataset files missing for {prefix!r}")
