@@ -145,3 +145,28 @@ def test_streamed_compaction_drops_deleted_and_hierarchy(segments, tmp_path):
     )
     r = recall_at_k(ids, gt_live, 10)
     assert r >= 0.85, r
+
+
+def test_streamed_compaction_save_fused_serves_host_tier(segments, tmp_path):
+    """save_fused=True writes the fused layout into reserved extents
+    (host-side build, block re-reads of the just-written adjacency) so the
+    output serves on the streaming HOST tier too."""
+    ds, cfg, paths, splits = segments
+    out = str(tmp_path / "merged_fused.jvtpu")
+    mappers, _ = compact_on_disk(paths, out, cfg, save_fused=True)
+    from jvector_tpu.disk.format import IndexFileReader
+
+    r = IndexFileReader(out)
+    assert r.has_array("feature/fused_sq4/fused_packed")
+    assert r.has_array("feature/fused_sq4/fused_w2")
+
+    from jvector_tpu.disk.host_graph import HostGraphIndex
+
+    h = HostGraphIndex.load(out)
+    res = h.search(jnp.asarray(ds.queries), top_k=10, beam_width=40)
+    new_of_old = np.full(2400, -1, np.int32)
+    for (a, b), m in zip(splits, mappers):
+        new_of_old[a:b] = m
+    gt_new = new_of_old[ds.ground_truth[:, :10]]
+    r10 = recall_at_k(np.asarray(res.ids), gt_new, 10)
+    assert r10 >= 0.85, r10
