@@ -62,12 +62,17 @@ BASELINE_SOURCE = (
 RECALL_FLOOR = 0.95
 HEADLINE_MARGIN = 0.005  # headline beam must clear floor + margin
 BEAMS = (20, 21, 22, 23, 25, 30, 35, 40, 50, 60, 80, 100, 150, 200)
-# Throughput points time a SUSTAINED stream of at least this many wave
-# dispatches (repeating the query set): an 8-wave burst at 1M finishes in
-# ~0.2 s, so a single ~27 ms host-dispatch RTT is 12% measurement noise —
-# the reference's ThroughputBenchmark likewise measures a saturated
-# parallel stream after warmup, not a burst (ThroughputBenchmark.java:131-200).
-MIN_TIMED_WAVES = 48
+# Throughput points time a SUSTAINED stream of at least this many queries
+# (repeating the query set): a short burst at 1M finishes in ~0.2 s, so a
+# single ~27 ms host-dispatch RTT is 12% measurement noise — the
+# reference's ThroughputBenchmark likewise measures a saturated parallel
+# stream after warmup, not a burst (ThroughputBenchmark.java:131-200).
+# The default wave of 4096 queries/dispatch is the measured throughput
+# knee (experiments/headline_wave_sweep.py: 27.7k QPS at wave 1024 ->
+# 63.0k at 4096 -> 60.5k at 8192; serial device time also drops 43 ->
+# 23.6 ms per 1k queries as the while_loop's fixed per-iteration cost
+# amortizes over more query lanes).
+MIN_TIMED_QUERIES = 65_536
 
 
 def clustered_adversarial(n: int, dim: int, n_queries: int, seed: int = 7):
@@ -103,7 +108,7 @@ def main() -> None:
     p.add_argument("--queries", type=int, default=8192)
     p.add_argument("--gt-queries", type=int, default=1024)
     p.add_argument("--top-k", type=int, default=10)
-    p.add_argument("--wave", type=int, default=1024, help="query wave size")
+    p.add_argument("--wave", type=int, default=4096, help="query wave size")
     p.add_argument(
         "--skip-robustness", action="store_true",
         help="headline corpus only (faster smoke runs)",
@@ -162,7 +167,8 @@ def main() -> None:
                 break
         beam, recall = chosen
         run(waves[0], beam).ids.block_until_ready()  # warmup/compile
-        reps = max(1, -(-MIN_TIMED_WAVES // len(waves)))
+        nq_once = sum(wv.shape[0] for wv in waves)
+        reps = max(1, -(-MIN_TIMED_QUERIES // nq_once))
         timed = waves * reps
         t0 = time.time()
         outs = [run(wv, beam).ids for wv in timed]

@@ -30,6 +30,15 @@ def main() -> None:
     p.add_argument("--gt", default="/tmp/synth10m_gt.npy")
     p.add_argument("--wave", type=int, default=512)
     p.add_argument("--waves", type=int, default=8, help="timed waves per point")
+    p.add_argument(
+        "--timed-wave", type=int, default=0,
+        help="throughput-wave size (0 = use --wave); recall still comes "
+        "from the GT wave.  The 1M headline sweep measured the dispatch "
+        "knee at 2048-4096 queries/wave (experiments/headline_wave_sweep"
+        ".py); throughput waves are sampled from the corpus (base rows + "
+        "noise) since only 512 GT queries exist at 10M.",
+    )
+    p.add_argument("--base", default="/tmp/synth10m_base.npy")
     p.add_argument("--out", default=None, help="write the JSON line here too")
     args = p.parse_args()
 
@@ -63,6 +72,18 @@ def main() -> None:
 
     qd = jnp.asarray(queries)
     waves = [qd[i : i + w] for i in range(0, n_q - w + 1, w)]
+    tw = args.timed_wave or w
+    if tw > w:
+        # distribution-faithful throughput queries: corpus rows + noise
+        rng = np.random.default_rng(11)
+        base_mm = np.load(args.base, mmap_mode="r")
+        picks = np.sort(rng.integers(0, base_mm.shape[0], size=2 * tw))
+        tq_np = base_mm[picks].astype(np.float32)
+        tq_np += rng.normal(0.0, 0.05, size=tq_np.shape).astype(np.float32)
+        tqd = jnp.asarray(tq_np)
+        timed_waves = [tqd[:tw], tqd[tw:]]
+    else:
+        timed_waves = waves
     rows = []
 
     def point(name, index, beam, expand, seeds):
@@ -76,16 +97,18 @@ def main() -> None:
         compile_s = time.time() - t0
         rec = recall_at_k(np.asarray(res0.ids), gt[:w], 10)
         # pipelined timing: dispatch all waves, sync once
-        timed = (waves * args.waves)[: max(args.waves, len(waves))]
+        if timed_waves is not waves:
+            run(timed_waves[0]).ids.block_until_ready()  # timed-shape compile
+        timed = (timed_waves * args.waves)[: max(args.waves, len(timed_waves))]
         t0 = time.time()
         outs = [run(wv).ids for wv in timed]
         for o in outs:
             o.block_until_ready()
         dt = time.time() - t0
         qps = sum(wv.shape[0] for wv in timed) / dt
-        # serial latency
+        # serial latency (of a throughput-sized wave)
         t0 = time.time()
-        run(waves[0]).ids.block_until_ready()
+        run(timed_waves[0]).ids.block_until_ready()
         ser_ms = (time.time() - t0) * 1000
         row = {
             "config": name, "beam": beam, "expand": expand, "seeds": seeds,
