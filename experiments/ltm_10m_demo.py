@@ -66,7 +66,9 @@ else:
     np.save("/tmp/synth10m_gt.npy", gt)
 print(f"gt {time.time()-t0:.1f}s", flush=True)
 
-path = "/tmp/ltm_10m_sq4.jvtpu"
+# LTM10M_PATH lets a rebuild target a fresh file (the default short-circuits
+# to serve-only once a complete index exists at the path)
+path = os.environ.get("LTM10M_PATH", "/tmp/ltm_10m_sq4.jvtpu")
 # add_hierarchy: upper levels are built AFTER L0 from the sampled nodes'
 # vectors (one source pass), so the SAME file serves both hierarchically
 # and flat (strip upper levels) — the flat-vs-hierarchy decision record
