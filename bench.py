@@ -209,7 +209,9 @@ def main() -> None:
         return search(graph, exact_provider, qs, top_k=top_k, beam_width=beam)
 
     qd = jnp.asarray(queries)
-    w = args.wave
+    # clamp the wave to the query count so --queries below the default wave
+    # still times full waves instead of building an empty list
+    w = min(args.wave, args.queries)
     waves = [qd[i : i + w] for i in range(0, args.queries, w) if i + w <= args.queries]
     headline_floor = RECALL_FLOOR + HEADLINE_MARGIN
 

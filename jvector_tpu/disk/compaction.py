@@ -26,7 +26,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from jvector_tpu.graph.builder import GraphIndexBuilder
-from jvector_tpu.graph.diversity import dedup_sorted_desc, robust_prune
+from jvector_tpu.graph.diversity import (
+    dedup_sorted_desc,
+    robust_prune,
+    tie_break_pairs,
+    tie_break_scores,
+)
 from jvector_tpu.graph.index import (
     NEG_INF,
     GraphConfig,
@@ -310,10 +315,17 @@ def compact_indexes(
             # edges, which score LOW; dropping low-scoring candidates
             # before the prune disconnects the merged graph (the alpha ramp
             # is what decides which far edges survive, not the score).
+            # quantized (PQ-sidecar) merges need the deterministic tie-break
+            # jitter or duplicate bursts prune to identical neighbor sets
+            # (CLAUDE.md invariant; harmless for exact scores)
+            cscores = tie_break_scores(jnp.maximum(self_new, 0), cids, cscores)
             cids, cscores = dedup_sorted_desc(cids, cscores)
 
-            simmat = merged_provider.pairwise(
-                jnp.maximum(cids, 0), jnp.maximum(cids, 0)
+            simmat = tie_break_pairs(
+                cids,
+                merged_provider.pairwise(
+                    jnp.maximum(cids, 0), jnp.maximum(cids, 0)
+                ),
             )
             p_ids, p_scores, p_count = robust_prune(
                 cids, cscores, simmat, M, config.alphas
@@ -396,8 +408,16 @@ def _prune_wave_streamed(provider, rows_dev, cids, max_degree, alphas):
         provider.score_nodes(jnp.maximum(rows_dev, 0), jnp.maximum(cids, 0)),
         NEG_INF,
     )
+    # quantized scores tie exactly on tight clusters — without the
+    # deterministic per-(owner, candidate) jitter every merged row picks the
+    # SAME neighbors and duplicate bursts shatter into islands (the
+    # tests/test_graph.py adversarial fan-in mode, same invariant as the
+    # builder's prune)
+    cscores = tie_break_scores(jnp.maximum(rows_dev, 0), cids, cscores)
     cids, cscores = dedup_sorted_desc(cids, cscores)
-    simmat = provider.pairwise(jnp.maximum(cids, 0), jnp.maximum(cids, 0))
+    simmat = tie_break_pairs(
+        cids, provider.pairwise(jnp.maximum(cids, 0), jnp.maximum(cids, 0))
+    )
     return robust_prune(cids, cscores, simmat, max_degree, alphas)
 
 
@@ -407,9 +427,10 @@ class _DeviceLedger:
     The streamed compactor's contract is that device memory stays bounded
     by {one source's working set} + {merged codes} + wave transients, never
     the merged graph.  The ledger makes that auditable: every multi-MB
-    device array the compactor allocates is registered with a phase tag,
-    and ``peak`` is asserted by tests against a budget smaller than the
-    merged graph would need.
+    device array the compactor allocates is registered with a phase tag
+    (un-instrumented sub-calls, like the hierarchy sub-build, register a
+    byte ESTIMATE), and ``peak`` is asserted by tests against a budget
+    smaller than the merged graph would need.
     """
 
     def __init__(self):
@@ -418,6 +439,12 @@ class _DeviceLedger:
 
     def add(self, tag: str, *arrays) -> None:
         self.live[tag] = sum(int(a.nbytes) for a in arrays if a is not None)
+        self.peak = max(self.peak, sum(self.live.values()))
+
+    def add_bytes(self, tag: str, nbytes: int) -> None:
+        """Register an ESTIMATE for allocations made inside a sub-call we
+        don't instrument array-by-array (e.g. the hierarchy sub-build)."""
+        self.live[tag] = int(nbytes)
         self.peak = max(self.peak, sum(self.live.values()))
 
     def drop(self, tag: str) -> None:
@@ -505,7 +532,11 @@ def compact_on_disk(
     sims = {r.meta.get("similarity", "euclidean") for r in readers}
     assert len(sims) == 1, f"mixed similarities: {sims}"
     sim = SimilarityFunction.parse(next(iter(sims)))
-    nbrs_mm = [r.read("graph/L0/neighbors") for r in readers]
+    # version-dispatching read: v3 paired-L0 sources unpack to plain [N, R]
+    # (plain sources stay host memmaps)
+    from jvector_tpu.disk.format import _read_l0_neighbors
+
+    nbrs_mm = [_read_l0_neighbors(r, mmap=True) for r in readers]
     vecs_mm = [
         r.read(f"feature/{FeatureId.INLINE_VECTORS}/vectors") for r in readers
     ]
@@ -542,14 +573,18 @@ def compact_on_disk(
     sq = ScalarQuantization4.compute(np.concatenate(parts, axis=0))
     mp = sq.compressed_size
 
-    merged_codes = jnp.zeros((total, mp), jnp.uint8)
+    # encode blocks into a HOST buffer and upload once — an eager per-block
+    # dynamic_update_slice would copy the whole device buffer every block
+    # (O(total^2/block) device traffic plus an untracked transient copy)
+    merged_host = np.empty((total, mp), np.uint8)
     for i, (ids, vm) in enumerate(zip(live_ids, vecs_mm)):
         for a in range(0, len(ids), block):
             rows = np.asarray(vm[ids[a : a + block]], np.float32)
-            codes = sq._encode_block(jnp.asarray(rows))
-            merged_codes = jax.lax.dynamic_update_slice_in_dim(
-                merged_codes, codes, int(offsets[i]) + a, axis=0
+            merged_host[offsets[i] + a : offsets[i] + a + len(rows)] = (
+                np.asarray(sq._encode_block(jnp.asarray(rows)))
             )
+    merged_codes = jnp.asarray(merged_host)
+    del merged_host
     w2_m, norm2_m = sq.node_constants(merged_codes)
     const_m = norm2_m if sim == SimilarityFunction.COSINE else w2_m
 
@@ -595,12 +630,14 @@ def compact_on_disk(
         adj_j = jnp.asarray(
             pack_adjacency_pairs_host(np.asarray(nbrs_mm[sj]), r_pad)
         )
-        codes_j = jnp.zeros((n_nodes[sj], mp), jnp.uint8)
+        codes_j_host = np.empty((n_nodes[sj], mp), np.uint8)
         for a in range(0, n_nodes[sj], block):
             rows = np.asarray(vecs_mm[sj][a : a + block], np.float32)
-            codes_j = jax.lax.dynamic_update_slice_in_dim(
-                codes_j, sq._encode_block(jnp.asarray(rows)), a, axis=0
+            codes_j_host[a : a + len(rows)] = np.asarray(
+                sq._encode_block(jnp.asarray(rows))
             )
+        codes_j = jnp.asarray(codes_j_host)
+        del codes_j_host
         w2_j, norm2_j = sq.node_constants(codes_j)
         const_j = norm2_j if sim == SimilarityFunction.COSINE else w2_j
         prov_j = aug_provider(codes_j, const_j)
@@ -735,11 +772,19 @@ def compact_on_disk(
                 )
                 sub_dev = jnp.asarray(sub_vecs)
                 ledger.add("hier", sub_dev)
+                # the sub-build's own tables: unpacked upper-level graph
+                # (neighbors + scores, ~2x minor-dim lane padding) — an
+                # estimate, since build_hierarchy_from_subset isn't
+                # instrumented array-by-array
+                ledger.add_bytes(
+                    "hier_build", len(sub_ids) * config.row_cap * 8 * 2
+                )
                 check_budget("hierarchy")
                 shell = GraphIndexBuilder(config).build_hierarchy_from_subset(
                     shell, sub_ids, sub_dev, levels[sub_ids], sim
                 )
                 ledger.drop("hier")
+                ledger.drop("hier_build")
                 for l in range(1, shell.num_levels):
                     writer.add_array(
                         f"graph/L{l}/neighbors",

@@ -309,15 +309,17 @@ def unpack_paired_neighbors(paired: np.ndarray, n_cap: int, r: int) -> np.ndarra
     )
 
 
-def _read_l0_neighbors(reader: "IndexFileReader") -> np.ndarray:
+def _read_l0_neighbors(reader: "IndexFileReader", mmap: bool = False) -> np.ndarray:
     """Version-dispatching L0 adjacency read (plain [N, R] either way).
 
     The v3 paired layout is the rehearsed breaking change (see the version
     history): v1/v2 files carry ``graph/L0/neighbors``; v3 files MAY carry
-    only ``graph/L0/neighbors_paired``.
+    only ``graph/L0/neighbors_paired``.  ``mmap=True`` keeps the zero-copy
+    memmap for plain files (paired files must unpack, so they materialize).
     """
     if reader.has_array("graph/L0/neighbors"):
-        return np.asarray(reader.read("graph/L0/neighbors"))
+        out = reader.read("graph/L0/neighbors", mmap=mmap)
+        return out if mmap else np.asarray(out)
     if reader.meta.get("l0_layout") == "paired":
         paired = reader.read("graph/L0/neighbors_paired")
         n_cap = reader.read("graph/L0/counts").shape[0]
@@ -463,6 +465,15 @@ def write_index(
     features = features or {}
     mapper = sequential_renumbering(graph) if renumber else None
     if mapper is not None:
+        if paired_adjacency:
+            # silent fallback to the plain layout would hand the caller a
+            # v2 file when they asked for the v3 device layout — refuse
+            # loudly; compact the holes first, then save paired
+            raise ValueError(
+                "paired_adjacency=True is not supported for graphs with "
+                "deleted holes (save-time renumbering): call remove_deleted "
+                "+ save without holes, or pass renumber=False"
+            )
         _write_index_renumbered(path, graph, features, save_scores, mapper, meta)
         return
     with IndexFileWriter(path, version=3 if paired_adjacency else None) as w:

@@ -324,8 +324,12 @@ class HostGraphIndex:
             from jvector_tpu.disk.host_tier import HostVectorStore
 
             store = HostVectorStore.from_index_file(r, inline, sim)
+        from jvector_tpu.disk.format import _read_l0_neighbors
+
         return HostGraphIndex(
-            neighbors=r.read("graph/L0/neighbors", mmap=True),
+            # version-dispatching read: v3 paired files unpack to [N, R]
+            # (plain files stay zero-copy memmaps)
+            neighbors=_read_l0_neighbors(r, mmap=True),
             fused_packed=r.read(f"{f}/fused_packed", mmap=True),
             fused_w2=r.read(f"{f}/fused_w2", mmap=True),
             codes_packed=r.read(f"{f}/codes_packed", mmap=True),

@@ -142,23 +142,30 @@ def sharded_build(
 
     providers = ExactScoreProvider(vectors=stacked, sim=sim)
 
-    # per-shard empty graphs, stacked
-    proto = empty_graph(n_local, config)
-    graphs = jax.tree.map(
-        lambda leaf: jax.device_put(
-            jnp.broadcast_to(leaf[None], (n_dev,) + leaf.shape),
-            NamedSharding(mesh, P(axis, *([None] * leaf.ndim))),
-        ),
-        proto,
-    )
+    # per-shard empty graphs, stacked — allocated LAZILY: the packed-
+    # adjacency regime never uses the unpacked [n_local, R] tables, and
+    # keeping them resident for the whole build would defeat the
+    # lowest-memory per-shard design (~1 KB/row/shard of dead lane-padded
+    # tables at the 100M target)
+    def make_graphs():
+        proto = empty_graph(n_local, config)
+        return jax.tree.map(
+            lambda leaf: jax.device_put(
+                jnp.broadcast_to(leaf[None], (n_dev,) + leaf.shape),
+                NamedSharding(mesh, P(axis, *([None] * leaf.ndim))),
+            ),
+            proto,
+        )
 
     # per-shard live count (rounding can leave MULTIPLE ragged tail shards)
     counts = np.clip(n - np.arange(n_dev) * n_local, 0, n_local).astype(np.int64)
 
     if build_compression == "sq4":
         return _sharded_build_sq4(
-            vectors, vp, stacked, providers, graphs, counts, mesh, config, sim, axis
+            vectors, vp, stacked, providers, make_graphs, counts, mesh,
+            config, sim, axis
         )
+    graphs = make_graphs()
 
     def _step_local(g, p, ids, wv):
         # shard_map blocks keep a leading size-1 device axis; strip it,
@@ -217,7 +224,7 @@ def _wave_inputs(start, w, counts, stacked, n_local, n_dev):
 
 
 def _sharded_build_sq4(
-    vectors, vp, stacked, providers, graphs, counts, mesh, config, sim, axis
+    vectors, vp, stacked, providers, make_graphs, counts, mesh, config, sim, axis
 ):
     """The compressed sharded build loop (fused tables per shard)."""
     from jvector_tpu.graph.score import sq4_aug_rows
@@ -242,6 +249,7 @@ def _sharded_build_sq4(
             sq, codes, w2, norm2, const, providers, counts, mesh, config,
             sim, axis, n_local, stacked,
         )
+    graphs = make_graphs()  # only the unpacked regime needs the [N, R] tables
     fused_packed = jax.device_put(
         jnp.zeros((n_dev, n_local, r_cap * mp), jnp.uint8), shard3
     )

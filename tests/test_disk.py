@@ -288,3 +288,80 @@ def test_v3_paired_feeds_device_tier(tmp_path):
                       entry_seeds=4)
     r3 = recall_at_k(np.asarray(res.ids), gt, 10)
     assert r3 >= 0.9, r3
+
+
+def _rewrite_paired(plain, paired):
+    """Rewrite a plain container into the v3 paired layout, same features."""
+    from jvector_tpu.disk.format import IndexFileReader
+
+    r = IndexFileReader(plain)
+    g, feats = load_index(plain).to_device()
+    write_index(
+        paired, g,
+        features={k: {a: np.asarray(v) for a, v in d.items()}
+                  for k, d in feats.items()},
+        renumber=False, paired_adjacency=True,
+        similarity=r.meta["similarity"],
+    )
+
+
+def test_v3_paired_plain_layout_consumers(tmp_path):
+    """v3 paired containers must feed the PLAIN-layout consumers through the
+    dispatching read (regression: HostGraphIndex.load and compact_on_disk
+    both raised KeyError('graph/L0/neighbors') on paired files despite the
+    format.py version-history promise)."""
+    from jvector_tpu.disk import compact_on_disk
+    from jvector_tpu.disk.host_graph import HostGraphIndex
+    from jvector_tpu.disk.ltm import build_on_disk_ltm
+    from jvector_tpu.util.datasets import exact_ground_truth
+
+    ds = synthetic_dataset(n=1600, dim=24, n_queries=20, k=10, seed=31)
+    gt = exact_ground_truth(ds.base, ds.queries, 10)
+    cfg = GraphConfig(max_degree=16, ef_construction=40, wave_size=128)
+    paths = []
+    for i, (a, b) in enumerate([(0, 800), (800, 1600)]):
+        plain = str(tmp_path / f"seg{i}.jvtpu")
+        build_on_disk_ltm(plain, ds.base[a:b], n=b - a, dim=24, config=cfg,
+                          compression="sq4")
+        paired = str(tmp_path / f"seg{i}_v3.jvtpu")
+        _rewrite_paired(plain, paired)
+        paths.append(paired)
+
+    # host tier serves the paired container (adjacency unpacked on load)
+    hg = HostGraphIndex.load(paths[0])
+    res = hg.search(jnp.asarray(ds.queries), top_k=10, beam_width=40,
+                    expand=4)
+    assert int(np.asarray(res.ids).max()) < 800
+
+    # the streamed compactor merges paired sources
+    out = str(tmp_path / "merged.jvtpu")
+    mappers, stats = compact_on_disk(paths, out, cfg)
+    assert stats["total"] == 1600
+    g2, feats = load_index(out).to_device()
+    rerank = ExactScoreProvider(
+        vectors=feats[FeatureId.INLINE_VECTORS]["vectors"],
+        sim=ds.similarity,
+    )
+    res = search(g2, rerank, jnp.asarray(ds.queries), top_k=10,
+                 beam_width=60)
+    new_of_old = np.concatenate(mappers)
+    remapped_gt = new_of_old[gt]
+    rec = recall_at_k(np.asarray(res.ids), remapped_gt, 10)
+    assert rec >= 0.85, rec
+
+
+def test_v3_paired_with_holes_refuses(tmp_path):
+    """paired_adjacency + save-time renumbering (deleted holes) must raise,
+    not silently fall back to a plain v2 file."""
+    from jvector_tpu.graph.mutation import mark_deleted
+
+    ds = synthetic_dataset(n=300, dim=16, n_queries=4, k=5, seed=13)
+    cfg = GraphConfig(max_degree=8, ef_construction=24, wave_size=64)
+    g, _ = build_graph(ds.base, ds.similarity, cfg)
+    g = mark_deleted(g, jnp.asarray([3, 5], jnp.int32))
+    with pytest.raises(ValueError, match="paired_adjacency"):
+        write_index(
+            str(tmp_path / "h.jvtpu"), g,
+            features={FeatureId.INLINE_VECTORS: {"vectors": np.asarray(ds.base)}},
+            paired_adjacency=True,
+        )
