@@ -69,3 +69,19 @@ def test_build_and_search_bench():
     dt = _time(lambda: search(g, p, q, top_k=10, beam_width=40).ids)
     print(f"build 2k: {build_dt:.1f}s  search: {64/dt:.0f} QPS")
     assert build_dt < 300 and 64 / dt > 10
+
+
+def test_compact_micro_bench():
+    """The streamed-compaction microbenchmark (micro.py --compact) runs end
+    to end and reports a bounded device peak (CompactorBenchmark analog)."""
+    from jvector_tpu.bench.micro import run_compact_micro
+
+    rows = run_compact_micro(n=1200, dim=24, segments=2)
+    (row,) = rows
+    assert row["unit"] == "merged nodes/s"
+    assert row["value"] > 0
+    # device peak far below the merged graph working set (the streaming
+    # contract); 1200 x row_cap x 8 bytes is already ~0.6 MB unpadded
+    assert row["peak_device_mb"] < 5.0
+    print(f"\ncompact micro: {row['value']:.0f} merged nodes/s, "
+          f"peak {row['peak_device_mb']} MB")
