@@ -410,16 +410,16 @@ def packed_adj_update_inplace(
             num_scalar_prefetch=9,
             grid=(1,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # a_adj
-                pl.BlockSpec(memory_space=pltpu.ANY),  # a_w2
+                pl.BlockSpec(memory_space=pl.ANY),  # a_adj
+                pl.BlockSpec(memory_space=pl.ANY),  # a_w2
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # e_adj
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # e_w2
-                pl.BlockSpec(memory_space=pltpu.ANY),  # adj (aliased)
-                pl.BlockSpec(memory_space=pltpu.ANY),  # w2t (aliased)
+                pl.BlockSpec(memory_space=pl.ANY),  # adj (aliased)
+                pl.BlockSpec(memory_space=pl.ANY),  # w2t (aliased)
             ],
             out_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             scratch_shapes=[
                 pltpu.VMEM((chunk, 8, 128), jnp.int32),
@@ -532,12 +532,12 @@ def packed_adj_only_update_inplace(
             num_scalar_prefetch=8,
             grid=(1,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # a_adj
+                pl.BlockSpec(memory_space=pl.ANY),  # a_adj
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # e_adj
-                pl.BlockSpec(memory_space=pltpu.ANY),  # adj (aliased)
+                pl.BlockSpec(memory_space=pl.ANY),  # adj (aliased)
             ],
             out_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             scratch_shapes=[
                 pltpu.VMEM((chunk, 8, 128), jnp.int32),

@@ -102,10 +102,10 @@ def scatter_rows3_inplace(
             num_scalar_prefetch=1,
             grid=(1,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # payload
-                pl.BlockSpec(memory_space=pltpu.ANY),  # table (aliased)
+                pl.BlockSpec(memory_space=pl.ANY),  # payload
+                pl.BlockSpec(memory_space=pl.ANY),  # table (aliased)
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[pltpu.SemaphoreType.DMA(())],
         ),
         out_shape=jax.ShapeDtypeStruct(table.shape, table.dtype),
@@ -477,12 +477,12 @@ def fused_update_inplace(
             num_scalar_prefetch=7,
             grid=(1,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # wave_img
-                pl.BlockSpec(memory_space=pltpu.ANY),  # patch_img
-                pl.BlockSpec(memory_space=pltpu.ANY),  # er_img
-                pl.BlockSpec(memory_space=pltpu.ANY),  # table (aliased)
+                pl.BlockSpec(memory_space=pl.ANY),  # wave_img
+                pl.BlockSpec(memory_space=pl.ANY),  # patch_img
+                pl.BlockSpec(memory_space=pl.ANY),  # er_img
+                pl.BlockSpec(memory_space=pl.ANY),  # table (aliased)
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((chunk, t, 128), table.dtype),
                 pltpu.VMEM((chunk * r128, 128), patch_img.dtype),
