@@ -113,6 +113,10 @@ def main() -> None:
         "--skip-robustness", action="store_true",
         help="headline corpus only (faster smoke runs)",
     )
+    p.add_argument(
+        "--no-repack", action="store_true",
+        help="disable the two-phase repacked wave (A/B the plain loop)",
+    )
     args = p.parse_args()
 
     import jax
@@ -198,15 +202,27 @@ def main() -> None:
     )
     gt = exact_ground_truth(base, queries[:gtq], top_k)
 
+    def repack_cut(beam, expand=1):
+        """Two-phase wave cut: ~1.6x the beam width (measured knee — the
+        active-lane tail fits the quarter-width sub-wave there; see
+        tests/test_repack.py and graph/searcher.py ``repack_after``).
+        measure() probes recall WITH the cut, so any truncation loss is
+        absorbed by its beam selection."""
+        return 0 if args.no_repack else max(8, int(1.6 * beam / expand))
+
     def run_sq4(qs, beam, expand=1, entry_seeds=1):
         return search(
             graph, sq4_provider, qs, top_k=top_k, beam_width=beam,
             rerank_k=beam, reranker=exact_provider,
             expand_per_iter=expand, entry_seeds=entry_seeds,
+            repack_after=repack_cut(beam, expand),
         )
 
     def run_exact(qs, beam):
-        return search(graph, exact_provider, qs, top_k=top_k, beam_width=beam)
+        return search(
+            graph, exact_provider, qs, top_k=top_k, beam_width=beam,
+            repack_after=repack_cut(beam),
+        )
 
     qd = jnp.asarray(queries)
     # clamp the wave to the query count so --queries below the default wave
@@ -308,6 +324,7 @@ def main() -> None:
                     g2, sp2, qs, top_k=top_k, beam_width=beam, rerank_k=beam,
                     reranker=ex2, expand_per_iter=sq4_expand,
                     entry_seeds=sq4_seeds,
+                    repack_after=repack_cut(beam, sq4_expand),
                 )
 
             r_qps, r_qps_ser, r_rec, r_beam, _ = measure(

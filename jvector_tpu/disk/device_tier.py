@@ -49,6 +49,7 @@ from jvector_tpu.graph.score import ExactScoreProvider, SQ4ScoreProvider
 from jvector_tpu.graph.searcher import (
     SearchResult,
     _descend_hierarchy,
+    _repack_tail,
     search_layer,
 )
 from jvector_tpu.ops.similarity import SimilarityFunction
@@ -331,10 +332,18 @@ class DeviceTierIndex:
         entry_seeds: int = 1,
         hierarchy_beam: int = 1,
         max_iters: int = 1000,
+        repack_after: int = 0,
     ) -> SearchResult:
         """Two-pass on-device wave search (same contract as
         :func:`jvector_tpu.graph.search`, minus filtered/threshold modes —
-        those serve through the standard tiers)."""
+        those serve through the standard tiers).
+
+        ``repack_after`` finishes the wave's convergence tail at quarter
+        width (see :func:`jvector_tpu.graph.searcher._repack_tail`) — the
+        tier is row-gather issue-rate bound and gathers are issued for
+        every lane each iteration, so compacting the tail cuts issued rows
+        directly.  ~2x ``beam_width`` is a good cut.
+        """
         if beam_width is None:
             beam_width = max(top_k, 100)
         if rerank_k is None:
@@ -349,6 +358,7 @@ class DeviceTierIndex:
             entry_seeds=entry_seeds,
             hierarchy_beam=hierarchy_beam,
             max_iters=max_iters,
+            repack_after=repack_after,
         )
 
 
@@ -362,6 +372,7 @@ class DeviceTierIndex:
         "entry_seeds",
         "hierarchy_beam",
         "max_iters",
+        "repack_after",
     ),
 )
 def _device_search(
@@ -374,6 +385,7 @@ def _device_search(
     entry_seeds: int,
     hierarchy_beam: int,
     max_iters: int,
+    repack_after: int = 0,
 ) -> SearchResult:
     provider = idx.provider
     qstate = provider.prepare(queries)
@@ -397,16 +409,28 @@ def _device_search(
             axis=1,
         )
 
+    repack = 0 < repack_after < max_iters and Q >= 64
     final = search_layer(
         idx.adj_pairs,
         provider,
         qstate,
         entries,
         beam_width=beam_width,
-        max_iters=max_iters,
+        max_iters=repack_after if repack else max_iters,
         expand_per_iter=expand_per_iter,
         packed_pairs=idx.row_cap,
     )
+    if repack:
+        final = _repack_tail(
+            idx.adj_pairs,
+            provider,
+            qstate,
+            final,
+            beam_width=beam_width,
+            max_iters=max_iters,
+            expand_per_iter=expand_per_iter,
+            packed_pairs=idx.row_cap,
+        )
 
     cand_ids = final.ids[:, :rerank_k]
     cand_scores = final.scores[:, :rerank_k]

@@ -139,6 +139,7 @@ def _merge_beam(beam_ids, beam_scores, beam_expanded, new_ids, new_scores):
         "unroll",
         "stop_threshold",
         "stop_patience",
+        "reopen_quiescent",
         "result_k",
         "packed_rows",
         "packed_pairs",
@@ -157,6 +158,9 @@ def search_layer(
     stop_threshold: float = 0.0,
     stop_patience: int = 32,
     init_state: BeamState | None = None,
+    reopen_quiescent: bool = True,  # False: pure continuation (repacked
+    # tail waves) — quiescent lanes stay quiescent instead of re-mining
+    # their beam floor as resume() does
     accept: jax.Array | None = None,  # bool [N]: filtered search when given
     result_k: int | None = None,  # result-channel width in filtered mode
     packed_rows: int | None = None,  # builder packed-adjacency mode: the
@@ -232,14 +236,15 @@ def search_layer(
         # (re-opening the TOP slots is useless — their neighbors are already
         # in the beam/history — and re-opening everything costs a full
         # re-search).  History dedup keeps the re-pops cheap.
-        L_old = init_state.ids.shape[1]
-        k_reopen = max(E, -(-(L - L_old) // R))
-        valid = state.scores > NEG_INF
-        quiescent = ~jnp.any(~state.expanded & valid, axis=1, keepdims=True)
-        pos = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
-        vc = jnp.sum(valid, axis=1, keepdims=True)
-        reopen = quiescent & (pos >= vc - k_reopen) & (pos < vc)
-        state = state._replace(expanded=state.expanded & ~reopen)
+        if reopen_quiescent:
+            L_old = init_state.ids.shape[1]
+            k_reopen = max(E, -(-(L - L_old) // R))
+            valid = state.scores > NEG_INF
+            quiescent = ~jnp.any(~state.expanded & valid, axis=1, keepdims=True)
+            pos = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+            vc = jnp.sum(valid, axis=1, keepdims=True)
+            reopen = quiescent & (pos >= vc - k_reopen) & (pos < vc)
+            state = state._replace(expanded=state.expanded & ~reopen)
     else:
         if entry_ids.ndim == 1:
             entry_ids = entry_ids[:, None]
@@ -458,6 +463,65 @@ def _descend_hierarchy(
     return best
 
 
+def _repack_tail(
+    graph_neighbors: jax.Array,
+    provider,
+    qstate,
+    final: BeamState,
+    beam_width: int,
+    max_iters: int,
+    expand_per_iter: int,
+    packed_pairs: int | None = None,
+    packed_rows: int | None = None,
+) -> BeamState:
+    """Finish a cut-short wave's convergence tail at quarter width.
+
+    Gathers the still-active lanes of ``final`` (plus converged filler if
+    fewer than the sub-wave width), continues them to quiescence in a
+    second ``search_layer`` (``reopen_quiescent=False``: a pure
+    continuation), and scatters the finished lanes back.  Active lanes
+    beyond the sub-wave width stay frozen — the ``max_iters``-cutoff
+    semantics.  Trace-time only (call under jit).
+    """
+    Q = final.ids.shape[0]
+    active = jnp.any(~final.expanded & (final.scores > NEG_INF), axis=1)
+    w2 = max(32, (Q // 4) // 8 * 8)
+    _, lanes = jax.lax.top_k(active.astype(jnp.int32), w2)
+    take = lambda a: None if a is None else a[lanes]  # noqa: E731
+    sub = BeamState(
+        ids=take(final.ids),
+        scores=take(final.scores),
+        expanded=take(final.expanded),
+        history=take(final.history),
+        visited_count=take(final.visited_count),
+        expanded_count=take(final.expanded_count),
+        iters=final.iters,
+    )
+    sub_fin = search_layer(
+        graph_neighbors,
+        provider,
+        jax.tree.map(lambda a: a[lanes], qstate),
+        jnp.zeros((w2, 1), jnp.int32),
+        beam_width=beam_width,
+        max_iters=max_iters,
+        expand_per_iter=expand_per_iter,
+        init_state=sub,
+        reopen_quiescent=False,
+        packed_pairs=packed_pairs,
+        packed_rows=packed_rows,
+    )
+    put = lambda full, sb: full.at[lanes].set(sb)  # noqa: E731
+    return final._replace(
+        ids=put(final.ids, sub_fin.ids),
+        scores=put(final.scores, sub_fin.scores),
+        expanded=put(final.expanded, sub_fin.expanded),
+        history=put(final.history, sub_fin.history),
+        visited_count=put(final.visited_count, sub_fin.visited_count),
+        expanded_count=put(final.expanded_count, sub_fin.expanded_count),
+        iters=sub_fin.iters,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -470,6 +534,7 @@ def _descend_hierarchy(
         "threshold",
         "return_state",
         "entry_seeds",
+        "repack_after",
     ),
 )
 def _search_jit(
@@ -490,6 +555,16 @@ def _search_jit(
     return_state: bool = False,
     init_state: BeamState | None = None,
     entry_seeds: int = 1,  # flat-graph beam seeds: entry + k-1 strided ids
+    repack_after: int = 0,  # two-phase wave: after this many beam
+    # iterations, compact the still-active minority into a quarter-width
+    # sub-wave and finish there.  The beam loop is LOCKSTEP — the wave
+    # pays max-iters over all lanes, but the per-query convergence tail
+    # is long (1M flagship, beam 21: median 30 iters, max 60, only 16%
+    # active past 35) — so finishing the tail at 1/4 width cuts ~20% of
+    # device time.  Bit-identical to the plain search whenever the
+    # active-lane count at the cut fits the sub-wave (lanes beyond it are
+    # frozen as if max_iters hit).  0 disables; ~1.7x beam_width is a
+    # good cut.  Plain searches only (no accept/threshold/init_state).
 ) -> SearchResult:
     """One jitted two-pass wave search (see :func:`search` for the API)."""
     if beam_width is None:
@@ -545,19 +620,37 @@ def _search_jit(
     if in_loop_accept:
         accept_mask = accept & ~graph.deleted
 
+    repack = (
+        repack_after > 0
+        and repack_after < max_iters
+        and init_state is None
+        and accept_mask is None
+        and threshold == 0.0
+        and Q >= 64
+    )
     final = search_layer(
         graph.base.neighbors,
         provider,
         qstate,
         entries if entries is not None else jnp.zeros((Q, 1), jnp.int32),
         beam_width=beam_width,
-        max_iters=max_iters,
+        max_iters=repack_after if repack else max_iters,
         expand_per_iter=expand_per_iter,
         stop_threshold=threshold,
         init_state=init_state,
         accept=accept_mask,
         result_k=max(rerank_k, top_k) if in_loop_accept else None,
     )
+    if repack:
+        final = _repack_tail(
+            graph.base.neighbors,
+            provider,
+            qstate,
+            final,
+            beam_width=beam_width,
+            max_iters=max_iters,
+            expand_per_iter=expand_per_iter,
+        )
     if in_loop_accept:
         # results come from the accepted channel; dedup guards the rare
         # case of a history-ring overflow re-admitting a node
