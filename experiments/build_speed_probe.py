@@ -31,6 +31,10 @@ def main() -> None:
     p.add_argument("--seeds", type=int, default=4)
     p.add_argument("--prune-algo", default="fixpoint", choices=["fixpoint", "greedy"])
     p.add_argument("--no-cleanup", action="store_true")
+    p.add_argument(
+        "--repack", type=int, default=0,
+        help="build_repack_after: two-phase wave searches (0 = off)",
+    )
     args = p.parse_args()
 
     import jax
@@ -63,6 +67,7 @@ def main() -> None:
         build_compression=None if args.mode == "exact" else "sq4",
         prune_algo=args.prune_algo,
         build_entry_seeds=args.seeds,
+        build_repack_after=args.repack,
     )
     builder = GraphIndexBuilder(cfg)
     t0 = time.time()

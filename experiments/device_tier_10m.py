@@ -40,6 +40,12 @@ def main() -> None:
     )
     p.add_argument("--base", default="/tmp/synth10m_base.npy")
     p.add_argument("--out", default=None, help="write the JSON line here too")
+    p.add_argument(
+        "--repack-sweep", action="store_true",
+        help="focused run: the committed operating points with a "
+        "repack_after sweep (two-phase wave tail) instead of the full "
+        "beam x expand grid",
+    )
     args = p.parse_args()
 
     import jax
@@ -86,10 +92,10 @@ def main() -> None:
         timed_waves = waves
     rows = []
 
-    def point(name, index, beam, expand, seeds):
+    def point(name, index, beam, expand, seeds, repack=0):
         run = lambda qs: index.search(
             qs, top_k=10, beam_width=beam, rerank_k=beam,
-            expand_per_iter=expand, entry_seeds=seeds,
+            expand_per_iter=expand, entry_seeds=seeds, repack_after=repack,
         )
         t0 = time.time()
         res0 = run(waves[0])
@@ -112,6 +118,7 @@ def main() -> None:
         ser_ms = (time.time() - t0) * 1000
         row = {
             "config": name, "beam": beam, "expand": expand, "seeds": seeds,
+            "repack_after": repack,
             "qps": round(qps, 1), "recall_at_10": round(float(rec), 4),
             "wave_ms_serial": round(ser_ms, 1),
             "visited_mean": round(float(jnp.mean(res0.visited_count)), 1),
@@ -121,24 +128,34 @@ def main() -> None:
         print(json.dumps(row), flush=True)
         return rec, qps
 
-    # hierarchy descent entries vs flat multi-seed, beam sweep
-    for beam in (25, 35, 50, 75, 100):
-        point("hier", idx, beam, expand=2, seeds=1)
-    for beam in (25, 35, 50, 75, 100):
-        point("flat", flat, beam, expand=2, seeds=8)
-    # expand sensitivity at the sweet spot
-    best = max(
-        (r for r in rows if r["recall_at_10"] >= 0.95),
-        key=lambda r: r["qps"],
-        default=None,
-    )
-    if best is not None:
-        for e in (1, 4):
-            point(
-                best["config"] + f"-E{e}",
-                idx if best["config"].startswith("hier") else flat,
-                best["beam"], expand=e, seeds=best["seeds"],
-            )
+    if args.repack_sweep:
+        # focused: the committed operating point (hier-E1 beam 35,
+        # bench_results/device_tier_10m_r5.json) with the two-phase wave
+        # tail engaged at a few cuts, plus a flat control
+        point("hier-E1", idx, 35, expand=1, seeds=1, repack=0)
+        for ra in (55, 70, 90):
+            point("hier-E1", idx, 35, expand=1, seeds=1, repack=ra)
+        point("hier-E1", idx, 50, expand=1, seeds=1, repack=85)
+        point("flat", flat, 50, expand=2, seeds=8, repack=85)
+    else:
+        # hierarchy descent entries vs flat multi-seed, beam sweep
+        for beam in (25, 35, 50, 75, 100):
+            point("hier", idx, beam, expand=2, seeds=1)
+        for beam in (25, 35, 50, 75, 100):
+            point("flat", flat, beam, expand=2, seeds=8)
+        # expand sensitivity at the sweet spot
+        best = max(
+            (r for r in rows if r["recall_at_10"] >= 0.95),
+            key=lambda r: r["qps"],
+            default=None,
+        )
+        if best is not None:
+            for e in (1, 4):
+                point(
+                    best["config"] + f"-E{e}",
+                    idx if best["config"].startswith("hier") else flat,
+                    best["beam"], expand=e, seeds=best["seeds"],
+                )
 
     ok = [r for r in rows if r["recall_at_10"] >= 0.95]
     head = max(ok, key=lambda r: r["qps"]) if ok else max(rows, key=lambda r: r["qps"])

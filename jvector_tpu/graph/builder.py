@@ -388,17 +388,33 @@ def _wave_search(
         extra = seed_ids[:, : max(0, ef - 1)]
         extra = jnp.where(wave_valid[:, None], extra, -1).astype(jnp.int32)
         entries = jnp.concatenate([entries[:, None], extra], axis=1)
+    packed_rows = config.row_cap if graph_neighbors.ndim == 3 else None
+    cut = config.build_repack_after
+    repack = 0 < cut < config.max_build_iters and wave_ids.shape[0] >= 64
     beam = search_layer(
         graph_neighbors,
         provider,
         qstate,
         entries,
         beam_width=ef,
-        max_iters=config.max_build_iters,
+        max_iters=cut if repack else config.max_build_iters,
         expand_per_iter=config.build_expand,
         # rank-3 = the packed [N/8, 8, 128] build adjacency (r4)
-        packed_rows=config.row_cap if graph_neighbors.ndim == 3 else None,
+        packed_rows=packed_rows,
     )
+    if repack:
+        from jvector_tpu.graph.searcher import _repack_tail
+
+        beam = _repack_tail(
+            graph_neighbors,
+            provider,
+            qstate,
+            beam,
+            beam_width=ef,
+            max_iters=config.max_build_iters,
+            expand_per_iter=config.build_expand,
+            packed_rows=packed_rows,
+        )
     return beam.ids[:, :ef], beam.scores[:, :ef]
 
 

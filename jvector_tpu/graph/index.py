@@ -78,6 +78,15 @@ class GraphConfig:
     # k > 1 adds k-1 random already-inserted nodes, shortening the
     # graph-diameter walk that dominates sequential beam iterations.
     build_entry_seeds: int = 4
+    # Two-phase build-wave searches: after this many lockstep beam
+    # iterations, compact the still-active minority of the wave into a
+    # quarter-width sub-wave and finish there (see
+    # searcher._repack_tail).  The wave pays max-iters over all lanes
+    # but the convergence tail is long, so this cuts wave-search device
+    # time ~20-40%.  Lanes truncated past the sub-wave width degrade
+    # like max_build_iters — the candidate pool is never score-truncated
+    # (the prune invariant holds).  0 disables.
+    build_repack_after: int = 0
 
     @property
     def overflow_degree(self) -> int:

@@ -55,6 +55,7 @@ def _multi_search_stacked(
     top_k: int,
     beam_width: int | None,
     rerank_k: int | None,
+    repack_after: int = 0,
 ) -> SearchResult:
     """All segments in ONE compiled program: shard pytrees stacked on a
     leading axis, the per-segment search vmapped (segments advance in
@@ -77,12 +78,17 @@ def _multi_search_stacked(
     return _stacked_impl(
         graphs, providers, rerankers, offsets, queries,
         top_k=top_k, beam_width=beam_width, rerank_k=rerank_k,
+        repack_after=repack_after,
     )
 
 
-@partial(jax.jit, static_argnames=("top_k", "beam_width", "rerank_k"))
+@partial(
+    jax.jit,
+    static_argnames=("top_k", "beam_width", "rerank_k", "repack_after"),
+)
 def _stacked_impl(
-    graphs, providers, rerankers, offsets, queries, *, top_k, beam_width, rerank_k
+    graphs, providers, rerankers, offsets, queries, *, top_k, beam_width,
+    rerank_k, repack_after=0,
 ):
     from jvector_tpu.graph.searcher import _search_jit
 
@@ -95,6 +101,7 @@ def _stacked_impl(
             beam_width=beam_width,
             rerank_k=rerank_k,
             reranker=reranker,
+            repack_after=repack_after,
         )
         ids = jnp.where(res.ids >= 0, res.ids + offset, -1)
         return res._replace(ids=ids)
@@ -126,6 +133,7 @@ def multi_search(
     use_rerank_floor: bool = True,
     floor_slack: float = 0.02,
     stacked: bool | None = None,
+    repack_after: int = 0,
 ) -> SearchResult:
     """Search every shard and merge the global topK.
 
@@ -140,7 +148,9 @@ def multi_search(
     if stacked is None:
         stacked = _can_stack(shards)
     if stacked:
-        return _multi_search_stacked(shards, queries, top_k, beam_width, rerank_k)
+        return _multi_search_stacked(
+            shards, queries, top_k, beam_width, rerank_k, repack_after
+        )
     q = queries.shape[0]
     best_ids = jnp.full((q, top_k), -1, jnp.int32)
     best_scores = jnp.full((q, top_k), -jnp.inf, jnp.float32)
@@ -170,6 +180,7 @@ def multi_search(
             rerank_k=rerank_k,
             reranker=shard.reranker,
             rerank_floor=floor,
+            repack_after=repack_after,
         )
         ids = jnp.where(res.ids >= 0, res.ids + shard.id_offset, -1)
         cat_ids = jnp.concatenate([best_ids, ids], axis=1)

@@ -98,6 +98,67 @@ def test_repack_truncation_degrades_like_max_iters():
     assert r_rep >= r_floor
 
 
+def test_repack_through_multi_index_stacked():
+    """repack_after threads through multi_search's single-program stacked
+    path (the repack gather/scatter runs under vmap over segments)."""
+    from jvector_tpu.graph.multi import IndexShard, multi_search
+
+    ds = synthetic_dataset(n=3000, dim=24, n_queries=128, k=10, seed=23)
+    cfg = GraphConfig(max_degree=16, ef_construction=40, wave_size=256)
+    shards = []
+    for a, b in [(0, 1000), (1000, 2000), (2000, 3000)]:
+        g, p = build_graph(ds.base[a:b], ds.similarity, cfg)
+        shards.append(IndexShard(graph=g, provider=p, id_offset=a))
+    q = jnp.asarray(ds.queries)
+
+    plain = multi_search(shards, q, top_k=10, beam_width=24, stacked=True)
+    rep = multi_search(
+        shards, q, top_k=10, beam_width=24, stacked=True, repack_after=30
+    )
+    r_plain = recall_at_k(np.asarray(plain.ids), ds.ground_truth, 10)
+    r_rep = recall_at_k(np.asarray(rep.ids), ds.ground_truth, 10)
+    assert r_rep >= r_plain - 0.01
+    s = np.asarray(rep.scores)
+    d = np.diff(s, axis=1)
+    assert (d[np.isfinite(d)] <= 1e-6).all()
+    assert np.asarray(rep.ids).max() < 3000
+
+
+def test_build_repack_identical_at_generous_cut():
+    """build_repack_after engages the two-phase wave search during
+    construction; with a cut past every wave's convergence it is a pure
+    plumbing no-op and the built graph is identical."""
+    ds = synthetic_dataset(n=4000, dim=32, n_queries=64, k=10, seed=29)
+    base_cfg = GraphConfig(max_degree=16, ef_construction=40, wave_size=256)
+    rep_cfg = GraphConfig(
+        max_degree=16, ef_construction=40, wave_size=256,
+        build_repack_after=120,
+    )
+    g0, _ = build_graph(ds.base, ds.similarity, base_cfg)
+    g1, p1 = build_graph(ds.base, ds.similarity, rep_cfg)
+    np.testing.assert_array_equal(
+        np.asarray(g0.base.neighbors), np.asarray(g1.base.neighbors)
+    )
+
+    # a tight cut truncates some wave lanes like max_build_iters: the graph
+    # differs but serves at comparable recall
+    tight_cfg = GraphConfig(
+        max_degree=16, ef_construction=40, wave_size=256,
+        build_repack_after=25,
+    )
+    g2, p2 = build_graph(ds.base, ds.similarity, tight_cfg)
+    q = jnp.asarray(ds.queries)
+    r1 = recall_at_k(
+        np.asarray(search(g1, p1, q, top_k=10, beam_width=24).ids),
+        ds.ground_truth, 10,
+    )
+    r2 = recall_at_k(
+        np.asarray(search(g2, p2, q, top_k=10, beam_width=24).ids),
+        ds.ground_truth, 10,
+    )
+    assert r2 >= r1 - 0.03
+
+
 def test_repack_ignored_for_small_waves_and_filters():
     """Guard rails: tiny waves and filtered searches run the plain path."""
     ds = synthetic_dataset(n=2000, dim=24, n_queries=32, k=10, seed=17)
